@@ -1,0 +1,240 @@
+"""Scalar Python implementations of the value-transformer library.
+
+These are the *single source of truth* for transformer semantics.  They are
+used in exactly two places:
+
+1. inside vectorized pandas UDFs (rdf_mapper_spark.compiler.functions) for the
+   transformers that have no exact Catalyst-native equivalent (sha1/base32hex
+   minting, fuzzy date parsing, python ``expr`` fallback, plugin parsers);
+2. on the driver, to constant-fold row-independent templates (one_offs,
+   auto-declared vocabulary) without launching a Spark job.
+
+Semantics parity (reference: src/rdf_mapper/lib/function.py):
+  asInt      f:68-69   int(float(s)) truncation; None/'' -> None
+  asDecimal  f:72-78   float parse -> xsd:decimal
+  asBoolean  f:108-118 case-insensitive truthy-set membership
+  asDate*    f:81-106  fuzzy date parse; bare year -> yyyy-01-01
+  trim/case  f:132-142
+  slug       f:144-146
+  split*     f:148-154
+  expr       f:156-163 compiled+cached python eval with x bound
+  hash       f:165-171 sha1 -> base32hexencode
+  to_entries f:176-179
+  normalize  template_support.py:89-97
+  <hash(..)> template_support.py:147-156
+
+The reference uses ``dateparser`` which is not available in this sandbox;
+``parse_datetime`` below is a deterministic format-table parser covering the
+formats exercised by the reference test-suite (test_template_support.py:126-136),
+with a pandas fallback for everything else, and uses dateparser when installed.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import hashlib
+import re
+from typing import Any
+
+try:  # pragma: no cover - not installed in this sandbox
+    import dateparser as _dateparser
+except ImportError:
+    _dateparser = None
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def none_or_empty(s: Any) -> bool:
+    return s is None or (isinstance(s, str) and s == "")
+
+
+# ---------------------------------------------------------------------------
+# IRI-safe normalization + content-hash minting
+# ---------------------------------------------------------------------------
+_POOR_URI_CHARS = re.compile(r"[^\w\-]+")
+
+
+def normalize(s: str) -> str:
+    """Collapse non-[word,-] runs to '_' and strip one edge underscore."""
+    norm = _POOR_URI_CHARS.sub("_", s.strip())
+    if norm.endswith("_"):
+        norm = norm[:-1]
+    if norm.startswith("_"):
+        norm = norm[1:]
+    return norm
+
+
+def sha1_b32hex(*parts: str) -> str:
+    """SHA-1 over the concatenated UTF-8 parts, base32hex-encoded (32 chars).
+
+    Byte-parity check against the reference: sha1_b32hex("foo", "bar") ==
+    "H11TFU942OGHRQFBN5HVUJ72G4IP6A3O" (test_template_support.py:53-58).
+    """
+    h = hashlib.sha1()
+    for p in parts:
+        h.update(str(p).encode("utf-8"))
+    return base64.b32hexencode(h.digest()).decode("ascii")
+
+
+# ---------------------------------------------------------------------------
+# Date parsing (deterministic dateparser stand-in)
+# ---------------------------------------------------------------------------
+_DT_FORMATS = (
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d %H:%M",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M",
+    "%Y-%m-%d",
+    "%d %B %Y %H:%M:%S",
+    "%d %B %Y %H:%M",
+    "%d %B %Y",
+    "%d %b %Y %H:%M",
+    "%d %b %Y",
+    "%B %d %Y",
+    "%b %d %Y",
+    "%d/%m/%Y",
+    "%Y/%m/%d",
+    "%Y%m%d",
+)
+
+
+def parse_datetime(s: str) -> _dt.datetime | None:
+    if _dateparser is not None:  # pragma: no cover
+        return _dateparser.parse(s)
+    s = s.strip()
+    for fmt in _DT_FORMATS:
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    try:  # last resort: pandas' flexible parser (still deterministic)
+        import pandas as pd
+
+        ts = pd.to_datetime(s)
+        if ts is not None and ts is not pd.NaT:
+            return ts.to_pydatetime()
+    except Exception:
+        pass
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Transformer scalar semantics. Each returns either a plain Python value, a
+# (lexical, datatype) tuple for typed literals, or None (= drop the value).
+# ---------------------------------------------------------------------------
+def as_int(s: Any) -> tuple[str, str] | None:
+    if none_or_empty(s):
+        return None
+    return (str(int(float(s))), XSD + "integer")
+
+
+def as_decimal(s: Any) -> tuple[str, str] | None:
+    if none_or_empty(s):
+        return None
+    v = s if isinstance(s, float) else float(s)
+    return (repr(v), XSD + "decimal")
+
+
+def as_boolean(s: Any, *truthy: Any) -> tuple[str, str]:
+    def fold(v: Any) -> Any:
+        return v.lower() if isinstance(v, str) else v
+
+    if s is None:
+        result = False
+    elif truthy:
+        result = fold(s) in [fold(t) for t in truthy]
+    else:
+        result = fold(s) in ["yes", "true", "ok", "1", 1, 1.0]
+    return ("true" if result else "false", XSD + "boolean")
+
+
+def as_date(s: Any) -> tuple[str, str] | None:
+    if none_or_empty(s) or not isinstance(s, str):
+        return None
+    dt = parse_datetime(s)
+    return (dt.date().isoformat(), XSD + "date") if dt else None
+
+
+def as_datetime(s: Any) -> tuple[str, str] | None:
+    if none_or_empty(s) or not isinstance(s, str):
+        return None
+    dt = parse_datetime(s)
+    return (dt.isoformat(), XSD + "dateTime") if dt else None
+
+
+def as_date_or_datetime(s: Any) -> tuple[str, str] | None:
+    if none_or_empty(s) or not isinstance(s, str):
+        return None
+    if re.fullmatch(r"[12]\d{3}", s):
+        return (f"{s}-01-01", XSD + "date")
+    dt = parse_datetime(s)
+    if not dt:
+        return None
+    if dt.time() == _dt.time(0, 0):
+        return (dt.date().isoformat(), XSD + "date")
+    return (dt.isoformat(), XSD + "dateTime")
+
+
+def _as_str(s: Any, permissive: bool = False) -> str:
+    if s is None:
+        raise ValueError("string transformer does not accept None")
+    if isinstance(s, tuple):  # typed literal passthrough -> lexical
+        return s[0]
+    if not isinstance(s, str):
+        if permissive:
+            return str(s)
+        raise ValueError(f"string transformer expects str, got {type(s)}")
+    return s
+
+
+def trim(s: Any) -> str:
+    return _as_str(s).strip()
+
+
+def to_lower(s: Any) -> str:
+    return _as_str(s).lower()
+
+
+def to_upper(s: Any) -> str:
+    return _as_str(s).upper()
+
+
+def slug(s: Any) -> str:
+    s = _as_str(s, permissive=True)
+    return "-".join(s.lower().split()).replace("%", "_").replace("/", "_") \
+        .replace("[", "_").replace("]", "_")
+
+
+def split_comma(s: Any) -> list[str]:
+    return re.split(r"\s*,\s*", _as_str(s))
+
+
+def split_re(s: Any, regex: str) -> list[str]:
+    return re.split(regex, _as_str(s))
+
+
+_EXPR_CACHE: dict[str, Any] = {}
+
+
+def py_expr(s: Any, expression: str) -> Any:
+    code = _EXPR_CACHE.get(expression)
+    if code is None:
+        code = compile(expression, "<template-expr>", "eval")
+        _EXPR_CACHE[expression] = code
+    return eval(code, {}, {"x": s})  # noqa: S307 - parity with reference eval
+
+
+def hash_fn(value: Any, *keys: str) -> str:
+    parts = []
+    if value:
+        parts.append(value if isinstance(value, str) else str(value))
+    parts.extend(str(k) for k in keys)
+    return sha1_b32hex(*parts)
+
+
+def to_entries(data: Any) -> list[dict[str, Any]]:
+    if not isinstance(data, dict):
+        raise ValueError(f"to_entries expects a dict, got {data!r}")
+    return [{"$key": k, "$value": v} for k, v in data.items()
+            if not str(k).startswith("$")]
