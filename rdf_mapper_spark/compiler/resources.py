@@ -1,0 +1,904 @@
+"""Resource templates -> quad-DataFrame plans.
+
+Each resource compiles to ONE projection + ONE `explode` over the (filtered)
+input: every property's term expression is packed into an array of quad
+structs which is exploded once — so a resource with 20 properties costs a
+single pass, entirely inside whole-stage codegen, instead of 20 unioned
+selects.  Fan-out constructs (map_to/smap_to over nested arrays) compile to
+`posexplode` sub-plans; autoCV registers a distinct-label side aggregation;
+auto-declared vocabulary folds to constants gated on "resource fired at
+least once".
+
+Reference semantics: template_support.py:205-396 (process_resource_spec /
+process_property_value), 431-604 (map_to/smap_to/map_by/reconcile/autoCV).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark import pyeval
+from rdf_mapper_spark.compiler import guards
+from rdf_mapper_spark.compiler.context import (
+    AutoCVUse,
+    Backlink,
+    CompileCtx,
+    MissingVar,
+)
+from rdf_mapper_spark.compiler.functions import (
+    EmbeddedFanout,
+    apply_function,
+    normalize_col,
+    sha1_b32hex_col,
+)
+from rdf_mapper_spark.compiler.values import (
+    ValueExpr,
+    concat_cross_product,
+    drop_null_terms,
+    iri_term,
+    runtime_curie_expand,
+    term_struct,
+    to_terms,
+)
+from rdf_mapper_spark.pyfuncs import normalize as py_normalize
+from rdf_mapper_spark.spec import (
+    OWL_CLASS,
+    RDF_PROPERTY,
+    RDF_TYPE,
+    RDFS_COMMENT,
+    RDFS_LABEL,
+    SKOS,
+    MappingSpec,
+    ResourceDef,
+    ResourceSpec,
+    expand_curie,
+)
+from rdf_mapper_spark.template import (
+    DATATYPE_RX,
+    Static,
+    VarExpansion,
+    parse_template,
+)
+
+import re
+
+_SCHEME_RX = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+_ABS_URI_JAVA = r"^(https?|file|urn)://.*"
+_HASH_FORM_RX = re.compile(r"hash\s?\(([^)]*)\)$")
+_COMMA_RX = re.compile(r"\s*,\s*")
+
+TERM_NULL = "struct<k:string,v:string,dt:string,lg:string>"
+QUAD_STRUCT_NULL = (
+    "struct<g:string,sk:string,s:string,p:string,"
+    "ok:string,o:string,odt:string,olg:string>"
+)
+
+
+# ---------------------------------------------------------------------------
+# Template value compilation (value_expand, template_support.py:182-202)
+# ---------------------------------------------------------------------------
+def compile_pattern(template: str, cctx: CompileCtx) -> ValueExpr | EmbeddedFanout:
+    pt = parse_template(template)
+    parts: list[ValueExpr] = []
+    single = pt.is_single_expansion
+    for seg in pt.segments:
+        if isinstance(seg, Static):
+            parts.append(ValueExpr(F.lit(seg.text), dtype="string"))
+            continue
+        ve = _compile_expansion(seg, cctx)
+        if isinstance(ve, EmbeddedFanout):
+            if not single:
+                raise ValueError(
+                    f"map_to must be the whole template: {template!r}"
+                )
+            return ve
+        parts.append(ve)
+    if single:
+        result = parts[0]
+    else:
+        result = concat_cross_product(parts)
+    return drop_null_terms(to_terms(result, pt.pattern_type, cctx.namespaces))
+
+
+def _compile_expansion(seg: VarExpansion, cctx: CompileCtx) -> ValueExpr | EmbeddedFanout:
+    if seg.var:
+        ve = cctx.resolve(seg.var)  # raises MissingVar -> property skipped
+    else:
+        ve = ValueExpr(F.lit(None).cast("string"), dtype="string")
+    for i, fn in enumerate(seg.fns):
+        out = apply_function(fn.name, list(fn.args), ve, cctx)
+        if isinstance(out, EmbeddedFanout):
+            if i != len(seg.fns) - 1:
+                raise ValueError("map_to must be the last pipeline step")
+            return out
+        ve = out
+    return ve
+
+
+def compile_value(template: str, cctx: CompileCtx) -> ValueExpr | EmbeddedFanout:
+    """value_expand: URI forms / backrefs / literal patterns."""
+    if (
+        template.startswith("<")
+        and template.endswith(">")
+        and not DATATYPE_RX.fullmatch(template)
+    ):
+        if template.startswith("<::"):
+            bl = cctx.backlinks.get(template[3:-1])
+            if bl is None:
+                return ValueExpr(
+                    F.lit(None).cast(TERM_NULL), form="term"
+                )
+            if bl.const is not None:
+                return ValueExpr(
+                    term_struct(bl.const.kind, bl.const.value), form="term"
+                )
+            return ValueExpr(
+                term_struct(bl.kind_col, bl.value_col), form="term"
+            )
+        uris = compile_uri(template, cctx)
+        out = uris.map_elements(lambda c: F.when(c.isNotNull(), iri_term(c)))
+        return drop_null_terms(replace(out, form="term"))
+    return compile_pattern(template, cctx)
+
+
+# ---------------------------------------------------------------------------
+# IRI minting (uri_expand, template_support.py:113-178)
+# ---------------------------------------------------------------------------
+def _absolutize(ve: ValueExpr, cctx: CompileCtx) -> ValueExpr:
+    """Resolve relative refs against {datasetBase}/data/{resourceID}/."""
+    base = (
+        f"{cctx.constants.get('$datasetBase')}/data/"
+        f"{cctx.constants.get('$resourceID')}/"
+    )
+
+    def absol(c: Column) -> Column:
+        return F.when(
+            c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), c
+        ).otherwise(F.concat(F.lit(base), c))
+
+    return ve.map_elements(absol)
+
+
+def _default_data_uri(cctx: CompileCtx) -> ValueExpr:
+    v = (
+        f"{cctx.constants.get('$datasetBase')}/data/"
+        f"{cctx.constants.get('$resourceID')}"
+    )
+    return ValueExpr(F.lit(v), dtype="string")
+
+
+def compile_uri(pattern: str, cctx: CompileCtx,
+                declare: bool = True) -> ValueExpr:
+    """Compile a URI template to (array of) absolute-IRI string column(s)."""
+    if pattern.startswith("<") and pattern.endswith(">"):
+        ref = pattern[1:-1]
+        if ref == "uuid":
+            # nondeterministic by definition (U4); excluded from goldens
+            uid = F.expr("uuid()")
+            return _absolutize(ValueExpr(uid, dtype="string"), cctx)
+        if ref == "row":
+            return _compile_row_uri(cctx)
+        if ref == "parent":
+            return _compile_parent_uri(cctx)
+        hm = _HASH_FORM_RX.fullmatch(ref)
+        if hm:
+            parts: list[Column] = []
+            for p in _COMMA_RX.split(hm.group(1)):
+                if p.startswith("'") and p.endswith("'"):
+                    parts.append(F.lit(p[1:-1]))
+                else:
+                    try:
+                        pv = cctx.resolve(p)
+                        # str(state.get(p)): None renders as "None"
+                        parts.append(
+                            F.coalesce(pv.col.cast("string"), F.lit("None"))
+                        )
+                    except MissingVar:
+                        parts.append(F.lit("None"))
+            digest = sha1_b32hex_col(F.concat(*parts))
+            return _absolutize(ValueExpr(digest, dtype="string"), cctx)
+        # templated IRI (absolute, CURIE, or relative after expansion)
+        ve = compile_pattern(ref, cctx)
+        if isinstance(ve, EmbeddedFanout):
+            raise ValueError("map_to not allowed inside URI templates")
+        assert ve.form == "term"
+        strs = ve.map_elements(lambda t: t["v"])
+        expanded = replace(strs, form="native", dtype="string").map_elements(
+            lambda c: runtime_curie_expand(c, dict(cctx.namespaces))
+        )
+        return _absolutize(replace(expanded, form="native", dtype="string"), cctx)
+    # bare name -> def namespace (+ auto-declared rdf:Property)
+    _id = f"{cctx.constants.get('$datasetBase')}/def/{py_normalize(pattern)}"
+    if declare and cctx.spec.auto_declare:
+        _register_vocab(cctx, "prop", pattern, _id, None, RDF_PROPERTY)
+    return ValueExpr(F.lit(_id), dtype="string")
+
+
+def _compile_row_uri(cctx: CompileCtx) -> ValueExpr:
+    if not cctx.has_var("$row"):
+        return _default_data_uri(cctx)
+    row = cctx.resolve("$row").col.cast("string")
+    file_ve = cctx.resolve("$file") if cctx.has_var("$file") else None
+    if file_ve is None:
+        return _default_data_uri(cctx)
+    fname = normalize_col(file_ve.col.cast("string"))
+    ref = F.concat(fname, F.lit("-"), row)
+    if cctx.has_var("$listIndex"):
+        li = cctx.resolve("$listIndex").col.cast("string")
+        ref = F.concat(li, F.lit("/"), ref)
+    return _absolutize(ValueExpr(ref, dtype="string"), cctx)
+
+
+def _compile_parent_uri(cctx: CompileCtx) -> ValueExpr:
+    if not cctx.has_var("$parentID"):
+        return _default_data_uri(cctx)
+    parent = cctx.resolve("$parentID").col.cast("string")
+    ref = F.concat(parent, F.lit("/"),
+                   F.lit(str(cctx.constants.get("$resourceID"))))
+    if cctx.has_var("$listIndex"):
+        li = cctx.resolve("$listIndex").col.cast("string")
+        ref = F.concat(ref, F.lit("/"), li)
+    return _absolutize(ValueExpr(ref, dtype="string"), cctx)
+
+
+# ---------------------------------------------------------------------------
+# Row-level guards (requires / unless / guard -> one filter Column)
+# ---------------------------------------------------------------------------
+def filters_condition(rs: ResourceSpec, cctx: CompileCtx) -> Optional[Column]:
+    conds: list[Column] = []
+    if rs.guard:
+        conds.append(guards.compile_guard(rs.guard, cctx))
+    if rs.requires:
+        for key, expected in rs.requires.items():
+            if not cctx.has_var(key):
+                conds.append(F.lit(expected is not None and False))
+                continue
+            col = cctx.resolve(key).col
+            if expected is None:
+                conds.append(col.isNotNull() & (col.cast("string") != ""))
+            elif isinstance(expected, list):
+                conds.append(F.coalesce(col.isin(expected), F.lit(False)))
+            else:
+                conds.append(F.coalesce(col == F.lit(expected), F.lit(False)))
+    if rs.unless:
+        for key, blocked in rs.unless.items():
+            if not cctx.has_var(key):
+                # absent value: only `unless {k: non-null}` keeps the row
+                conds.append(F.lit(blocked is not None))
+                continue
+            raw = cctx.resolve(key)
+            col = raw.col
+            if raw.dtype == "string":
+                col = F.when(F.trim(col) == "", None).otherwise(col)
+            if blocked is None:
+                conds.append(col.isNull())
+            elif isinstance(blocked, list):
+                conds.append(F.coalesce(~col.isin(blocked), F.lit(True)))
+            else:
+                conds.append(F.coalesce(col != F.lit(blocked), F.lit(True)))
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary auto-declaration (template_support.py:398-424)
+# ---------------------------------------------------------------------------
+def _register_vocab(cctx: CompileCtx, kind: str, name: str, _id: str,
+                    comment: str | None, type_iri: str) -> None:
+    key = f"{kind}#{name}"
+    store = cctx.constants.setdefault("__vocab__", {})
+    if key in cctx.constants.get("__vocab_seen__", set()):
+        return
+    cctx.constants.setdefault("__vocab_seen__", set()).add(key)
+    rows = store.setdefault("rows", [])
+    rows.append((None, "iri", _id, RDF_TYPE, "iri", type_iri, None, None))
+    rows.append((None, "iri", _id, RDFS_LABEL, "literal", name, None, None))
+    if comment is not None:
+        rows.append((None, "iri", _id, RDFS_COMMENT, "literal", comment,
+                     None, None))
+
+
+def _drain_vocab(cctx: CompileCtx) -> list[tuple]:
+    store = cctx.constants.get("__vocab__", {})
+    rows = store.get("rows", [])
+    store["rows"] = []
+    return rows
+
+
+def _const_quads_gated(df: DataFrame, rows: list[tuple]) -> DataFrame:
+    """Emit constant quads iff ``df`` has at least one row.
+
+    The gate keeps reference behavior: vocabulary/schemes appear only when
+    the resource actually fired (template_support.py:408-424). ``limit(1)``
+    terminates the scan early, so the gate is O(first matching row).
+    """
+    structs = [
+        F.struct(
+            F.lit(g).cast("string").alias("g"),
+            F.lit(sk).cast("string").alias("sk"),
+            F.lit(s).cast("string").alias("s"),
+            F.lit(p).cast("string").alias("p"),
+            F.lit(ok).cast("string").alias("ok"),
+            F.lit(o).cast("string").alias("o"),
+            F.lit(odt).cast("string").alias("odt"),
+            F.lit(olg).cast("string").alias("olg"),
+        )
+        for (g, sk, s, p, ok, o, odt, olg) in rows
+    ]
+    return (
+        df.limit(1)
+        .select(F.explode(F.array(*structs)).alias("q"))
+        .select("q.*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# autoCV (template_support.py:575-604) and reconcile (482-530)
+# ---------------------------------------------------------------------------
+def compile_autocv(ve: ValueExpr, args: list[Any], cctx: CompileCtx) -> ValueExpr:
+    cv_name = str(args[0]) if args else str(cctx.constants.get("$prop"))
+    cv_type = str(args[1]) if len(args) > 1 else None
+    base = f"{cctx.constants.get('$datasetBase')}/def/{cv_name}"
+    if ve.is_array and cv_type == "hash":
+        raise ValueError("autoCV(hash) over multi-values: explode first")
+
+    label_scalar = ve.col if not ve.is_array else None
+
+    def concept_iri(c: Column) -> Column:
+        label = c.cast("string")
+        local = (
+            sha1_b32hex_col(label) if cv_type == "hash" else normalize_col(label)
+        )
+        return F.when(
+            label.isNotNull() & (label != ""),
+            iri_term(F.concat(F.lit(base + "/"), local)),
+        )
+
+    out = ve.map_elements(concept_iri)
+    cctx.autocv_uses.append(
+        AutoCVUse(
+            cv_name=cv_name,
+            cv_type=cv_type,
+            label_col=(
+                label_scalar.cast("string")
+                if label_scalar is not None
+                else F.explode(ve.col).cast("string")
+            ),
+            source_df=cctx.df,
+            graph=cctx.constants.get("$graph_const"),
+        )
+    )
+    return replace(out, form="term")
+
+
+def autocv_side_quads(use: AutoCVUse, spec: MappingSpec,
+                      dataset_base: str) -> DataFrame:
+    """Distinct labels -> concept quads; scheme quads gated on >=1 label.
+
+    The reference's only true cross-row aggregation (R9): here a
+    `distinct()` (map-side partial aggregation; labels are low-cardinality
+    so the shuffle is tiny) followed by constant-per-label quad explosion.
+    """
+    base = f"{dataset_base}/def/{use.cv_name}"
+    scheme_id = base + "_scheme"
+    g = use.graph
+    labels = (
+        use.source_df.select(use.label_col.alias("label"))
+        .where(F.col("label").isNotNull() & (F.col("label") != ""))
+        .distinct()
+    )
+    local = (
+        sha1_b32hex_col(F.col("label"))
+        if use.cv_type == "hash"
+        else normalize_col(F.col("label"))
+    )
+    concept = F.concat(F.lit(base + "/"), local)
+
+    def q(s: Column, p: str, ok: str, o: Column, odt=None, olg=None) -> Column:
+        return F.struct(
+            F.lit(g).cast("string").alias("g"),
+            F.lit("iri").alias("sk"),
+            s.cast("string").alias("s"),
+            F.lit(p).alias("p"),
+            F.lit(ok).alias("ok"),
+            o.cast("string").alias("o"),
+            F.lit(odt).cast("string").alias("odt"),
+            F.lit(olg).cast("string").alias("olg"),
+        )
+
+    concept_quads = labels.select(
+        F.explode(
+            F.array(
+                q(concept, RDF_TYPE, "iri", F.lit(SKOS + "Concept")),
+                q(concept, SKOS + "prefLabel", "literal", F.col("label")),
+                q(concept, SKOS + "inScheme", "iri", F.lit(scheme_id)),
+                q(concept, SKOS + "topConceptOf", "iri", F.lit(scheme_id)),
+                q(F.lit(scheme_id), SKOS + "hasTopConcept", "iri", concept),
+            )
+        ).alias("q")
+    ).select("q.*")
+    scheme_rows = [
+        (g, "iri", scheme_id, RDF_TYPE, "iri", SKOS + "ConceptScheme", None, None),
+        (g, "iri", scheme_id, "http://purl.org/dc/terms/title", "literal",
+         use.cv_name, None, None),
+        (g, "iri", scheme_id, "http://purl.org/dc/terms/description", "literal",
+         f"Automatically generated concept scheme {use.cv_name}", None, None),
+    ]
+    scheme_quads = _const_quads_gated(labels, scheme_rows)
+    return concept_quads.unionByName(scheme_quads)
+
+
+def compile_reconcile(ve: ValueExpr, args: list[Any], cctx: CompileCtx) -> ValueExpr:
+    """Entity linking against a broadcast alias dictionary (T19 / north rule).
+
+    The reference fires one HTTP reconciliation request per distinct
+    (key,type) (reconcile.py:23-43); at web scale the dictionary is a
+    broadcast DataFrame the engine joins against (see pipeline.linking for
+    the join-based path). Template-level reconcile uses the engine's
+    registered alias map when present and otherwise mints the deterministic
+    proxy concept `<hash(key,keytype)>` (template_support.py:476-480).
+    """
+    keytype = None
+    if len(args) > 1 and args[1] not in (None, "None", ""):
+        keytype = expand_curie(str(args[1]), cctx.spec.namespaces)
+    alias_map: dict[str, str] = cctx.constants.get("__alias_map__", {})
+    key = ve.col.cast("string")
+    keytype_str = keytype or (SKOS + "Concept")
+    proxy_base = (
+        f"{cctx.constants.get('$datasetBase')}/data/"
+        f"{cctx.constants.get('$resourceID')}/"
+    )
+    proxy = F.concat(F.lit(proxy_base),
+                     sha1_b32hex_col(F.concat(key, F.lit(keytype_str))))
+    if alias_map:
+        pairs: list[Column] = []
+        for a, iri_v in alias_map.items():
+            pairs.extend([F.lit(a), F.lit(iri_v)])
+        lookup = F.create_map(*pairs)[key]
+        resolved = F.coalesce(lookup, proxy)
+    else:
+        resolved = proxy
+    def link_term(c: Column) -> Column:  # single param: pyspark HOF bridge
+        return F.when(c.isNotNull(), iri_term(resolved))
+
+    out = ve.map_elements(link_term)
+    return replace(out, form="term")
+
+
+# ---------------------------------------------------------------------------
+# Resource compilation
+# ---------------------------------------------------------------------------
+def spec_of(cctx: CompileCtx) -> MappingSpec:
+    return cctx.spec
+
+
+def compile_resource(rs: ResourceSpec, cctx: CompileCtx,
+                     graph_const: str | None = None) -> list[DataFrame]:
+    """Compile one resource template into quad DataFrames."""
+    consts = dict(cctx.constants)
+    consts["$resourceID"] = rs.name
+    scoped = cctx.child(cctx.df, dict(cctx.columns), consts)
+    scoped.constants["__vocab__"] = cctx.constants.setdefault("__vocab__", {})
+    scoped.constants["__vocab_seen__"] = cctx.constants.setdefault(
+        "__vocab_seen__", set()
+    )
+
+    cond = filters_condition(rs, scoped)
+    fdf = scoped.df.filter(cond) if cond is not None else scoped.df
+    fcols = {k: v for k, v in scoped.columns.items()}
+    fctx = scoped.child(fdf, fcols, dict(scoped.constants))
+    fctx.constants["__vocab__"] = scoped.constants["__vocab__"]
+    fctx.constants["__vocab_seen__"] = scoped.constants["__vocab_seen__"]
+
+    # graph routing (R12): graph IRIs are row-independent in practice, so
+    # fold them on the driver (a row-var-dependent graph would need a graph
+    # column; the reference corpus has none, test_graphs.py:20-27)
+    graph: str | None = graph_const
+    if rs.graph:
+        state = pyeval.EvalState(spec_of(fctx))
+        graph = pyeval.uri_expand(rs.graph, dict(fctx.constants), state)[0]
+        fctx.constants["$graph_const"] = graph
+
+    if rs.pattern is not None:
+        # literal-resource templates only make sense embedded; top-level
+        # pattern resources produce no quads of their own
+        return []
+
+    return _compile_resource_body(rs, fctx, fdf, graph)
+
+
+def _compile_resource_body(rs: ResourceSpec, fctx: CompileCtx, fdf: DataFrame,
+                           graph: str | None) -> list[DataFrame]:
+    spec = fctx.spec
+    out: list[DataFrame] = []
+
+    # ---- subject -----------------------------------------------------------
+    id_template = rs.prop_template("@id") or "<row>"
+    if id_template == "<_>":
+        subj_kind = "bnode"
+        subj_val = _skolem_bnode(rs.name, fctx)
+    else:
+        subj_kind = "iri"
+        sv = compile_uri(id_template, fctx, declare=False)
+        subj_val = (
+            F.element_at(sv.col, 1) if sv.is_array else sv.col
+        )
+    fdf = fdf.where(subj_val.isNotNull())
+    fctx.backlinks[rs.name] = Backlink(
+        kind_col=F.lit(subj_kind), value_col=subj_val
+    )
+    subj_ctx_cols = dict(fctx.columns)
+    subj_ctx_cols["$parentID"] = (subj_val, "string")
+    pctx = fctx.child(fdf, subj_ctx_cols, dict(fctx.constants))
+    pctx.constants["__vocab__"] = fctx.constants["__vocab__"]
+    pctx.constants["__vocab_seen__"] = fctx.constants["__vocab_seen__"]
+
+    emissions: list[tuple[Column, ValueExpr, bool]] = []  # (pred, term, inverse)
+
+    # ---- @type (explicit or auto-declared default) -------------------------
+    type_template = rs.prop_template("@type")
+    if not type_template and spec.auto_declare:
+        cls_id = (
+            f"{pctx.constants.get('$datasetBase')}/def/"
+            f"{py_normalize(rs.name)}"
+        )
+        _register_vocab(pctx, "class", rs.name, cls_id, rs.comment, OWL_CLASS)
+        emissions.append(
+            (F.lit(RDF_TYPE), ValueExpr(iri_term(F.lit(cls_id)), form="term"),
+             False)
+        )
+    elif type_template:
+        tv = compile_uri(type_template, pctx, declare=False)
+        tcol = F.element_at(tv.col, 1) if tv.is_array else tv.col
+        emissions.append(
+            (F.lit(RDF_TYPE),
+             ValueExpr(F.when(tcol.isNotNull(), iri_term(tcol)), form="term"),
+             False)
+        )
+
+    # ---- properties ---------------------------------------------------------
+    fanouts: list[DataFrame] = []
+    for prop, template in rs.properties:
+        if prop in ("@id", "@type", "@graph"):
+            continue
+        templates = template if isinstance(template, list) else [template]
+        for tpl in templates:
+            try:
+                _compile_property(
+                    rs, prop, tpl, pctx, fdf, graph, subj_kind, subj_val,
+                    emissions, fanouts,
+                )
+            except MissingVar as mv:
+                pctx.warnings.append(
+                    f"{rs.name}.{prop}: variable {mv} not in schema — skipped"
+                )
+            except ValueError as err:
+                pctx.warnings.append(f"{rs.name}.{prop}: {err} — skipped")
+
+    # ---- assemble: one array-of-quads projection, one explode ---------------
+    if emissions:
+        quad_elems: list[Column] = []
+        for pred, term_ve, inverse in emissions:
+            if term_ve.is_array:
+                # single-parameter lambda (pyspark HOF bridge requirement)
+                def make_quad_fn(_p, _inv):
+                    return lambda t: _quad_struct(
+                        graph, subj_kind, subj_val, _p, t, _inv
+                    )
+
+                quad_elems.append(
+                    F.transform(term_ve.col, make_quad_fn(pred, inverse))
+                )
+            else:
+                quad_elems.append(
+                    F.array(
+                        _quad_struct(graph, subj_kind, subj_val, pred,
+                                     term_ve.col, inverse)
+                    )
+                )
+        combined = F.concat(*quad_elems) if len(quad_elems) > 1 else quad_elems[0]
+        combined = F.filter(combined, lambda q: q.isNotNull())
+        out.append(
+            fdf.select(F.explode(combined).alias("q")).select("q.*")
+        )
+
+    out.extend(fanouts)
+
+    # ---- auto-declared vocabulary, gated on the resource firing -------------
+    vocab_rows = _drain_vocab(pctx)
+    if vocab_rows:
+        out.append(_const_quads_gated(fdf, vocab_rows))
+    return out
+
+
+def _quad_struct(graph: str | None, subj_kind: str, subj_val: Column,
+                 pred: Column, term: Column, inverse: bool) -> Column:
+    """Build one quad struct; NULL when the term is missing."""
+    if inverse:
+        s_k, s_v = term["k"], term["v"]
+        o_k, o_v = F.lit(subj_kind), subj_val
+        odt = F.lit(None).cast("string")
+        olg = F.lit(None).cast("string")
+    else:
+        s_k, s_v = F.lit(subj_kind), subj_val
+        o_k, o_v = term["k"], term["v"]
+        odt, olg = term["dt"], term["lg"]
+    quad = F.struct(
+        F.lit(graph).cast("string").alias("g"),
+        s_k.cast("string").alias("sk"),
+        s_v.cast("string").alias("s"),
+        pred.cast("string").alias("p"),
+        o_k.cast("string").alias("ok"),
+        o_v.cast("string").alias("o"),
+        odt.cast("string").alias("odt"),
+        olg.cast("string").alias("olg"),
+    )
+    return F.when(
+        term.isNotNull() & term["v"].isNotNull() & subj_val.isNotNull(), quad
+    )
+
+
+def _skolem_bnode(name: str, cctx: CompileCtx) -> Column:
+    """Deterministic blank-node label per resource instantiation (U10).
+
+    The reference mints a fresh BNode per row (template_support.py:291-292);
+    goldens compare bnode-isomorphically, so a deterministic skolem of the
+    (file,row,resource[,listIndex]) scope is equivalent AND idempotent on
+    re-run — required for checkpoint/resume.
+    """
+    parts: list[Column] = [F.lit("b"), F.lit(name)]
+    for var in ("$file", "$row", "$listIndex"):
+        if cctx.has_var(var):
+            parts.extend([F.lit("-"), cctx.resolve(var).col.cast("string")])
+    return F.md5(F.concat(*parts))
+
+
+def _compile_property(
+    rs: ResourceSpec, prop: str, template: Any, pctx: CompileCtx,
+    fdf: DataFrame, graph: str | None, subj_kind: str, subj_val: Column,
+    emissions: list, fanouts: list[DataFrame],
+) -> None:
+    spec = pctx.spec
+    inverse = prop.startswith("^")
+    if inverse:
+        prop = prop[1:]
+
+    prop_def = None
+    if prop.startswith(":"):
+        prop_def = spec.prop_defs.get(prop[1:])
+        if not prop_def:
+            raise ValueError(f"unknown property definition {prop}")
+        prop, template = prop_def.rewrite_template(template)
+        if prop_def.cls:
+            cls = compile_uri(prop_def.cls, pctx, declare=False)
+            ccol = F.element_at(cls.col, 1) if cls.is_array else cls.col
+            emissions.append(
+                (F.lit(RDF_TYPE),
+                 ValueExpr(F.when(ccol.isNotNull(), iri_term(ccol)),
+                           form="term"),
+                 False)
+            )
+
+    pv = compile_uri(prop, pctx)
+    pred = F.element_at(pv.col, 1) if pv.is_array else pv.col
+    propname = prop
+    if prop_def:
+        propname = prop_def.name
+        if spec.auto_declare:
+            # prop-def IRIs are row-independent: fold driver-side
+            state = pyeval.EvalState(spec)
+            folded = pyeval.uri_expand(prop, dict(pctx.constants), state)
+            _register_vocab(pctx, "prop", prop_def.name, folded[0],
+                            prop_def.comment, RDF_PROPERTY)
+
+    if isinstance(template, dict):
+        # nested inline resource spec (R5)
+        child = ResourceSpec(ResourceDef(**template))
+        _compile_nested_resource(child, pctx, fdf, graph, subj_kind, subj_val,
+                                 pred, inverse, emissions, fanouts)
+        return
+    if not isinstance(template, str):
+        raise ValueError(f"unsupported property template {template!r}")
+    if template == "":
+        template = "{" + prop + "}"  # P4 transposition (doc.md:188)
+
+    vctx = pctx.child(fdf, dict(pctx.columns), dict(pctx.constants))
+    vctx.constants["$prop"] = propname
+    vctx.constants["__vocab__"] = pctx.constants["__vocab__"]
+    vctx.constants["__vocab_seen__"] = pctx.constants["__vocab_seen__"]
+    value = compile_value(template, vctx)
+    if isinstance(value, EmbeddedFanout):
+        fanouts.extend(
+            _compile_fanout(value, vctx, fdf, graph, subj_kind, subj_val,
+                            pred, inverse)
+        )
+        return
+    emissions.append((pred, value, inverse))
+
+
+def _compile_nested_resource(
+    child: ResourceSpec, pctx: CompileCtx, fdf: DataFrame, graph: str | None,
+    subj_kind: str, subj_val: Column, pred: Column, inverse: bool,
+    emissions: list, fanouts: list[DataFrame],
+) -> None:
+    """Inline dict property value -> child resource on the same rows."""
+    consts = dict(pctx.constants)
+    consts["$resourceID"] = child.name
+    cctx2 = pctx.child(fdf, dict(pctx.columns), consts)
+    cctx2.constants["__vocab__"] = pctx.constants["__vocab__"]
+    cctx2.constants["__vocab_seen__"] = pctx.constants["__vocab_seen__"]
+    cond = filters_condition(child, cctx2)
+    cdf = fdf.filter(cond) if cond is not None else fdf
+
+    if child.pattern is not None:
+        ctx3 = cctx2.child(cdf, dict(cctx2.columns), dict(cctx2.constants))
+        value = compile_pattern(child.pattern, ctx3)
+        if isinstance(value, EmbeddedFanout):
+            raise ValueError("map_to inside literal resource pattern")
+        # literal-resource expansion uses only the FIRST value
+        # (template_support.py:277-282); emit from the child-filtered frame
+        vcol = F.element_at(value.col, 1) if value.is_array else value.col
+        quad = _quad_struct(graph, subj_kind, subj_val, pred, vcol, inverse)
+        fanouts.append(
+            cdf.select(quad.alias("q")).where(F.col("q").isNotNull())
+            .select("q.*")
+        )
+        return
+
+    cctx3 = cctx2.child(cdf, dict(cctx2.columns), dict(cctx2.constants))
+    cctx3.constants["__vocab__"] = cctx2.constants["__vocab__"]
+    cctx3.constants["__vocab_seen__"] = cctx2.constants["__vocab_seen__"]
+    child_dfs = _compile_resource_body(child, cctx3, cdf, graph)
+    fanouts.extend(child_dfs)
+    child_bl = cctx3.backlinks.get(child.name)
+    if child_bl is not None and child_bl.value_col is not None:
+        term = term_struct(child_bl.kind_col, child_bl.value_col)
+        link = cdf.select(
+            _quad_struct(graph, subj_kind, subj_val, pred, term, inverse)
+            .alias("q")
+        ).where(F.col("q").isNotNull()).select("q.*")
+        fanouts.append(link)
+
+
+def _compile_fanout(
+    fo: EmbeddedFanout, pctx: CompileCtx, fdf: DataFrame, graph: str | None,
+    subj_kind: str, subj_val: Column, pred: Column, inverse: bool,
+) -> list[DataFrame]:
+    """map_to / smap_to: posexplode nested data into an embedded template.
+
+    The parent link triple and all child triples are emitted from the
+    exploded DataFrame; $listIndex / $parentID become carried columns
+    (SURVEY.md T17/T18, template_support.py:431-458).
+    """
+    spec = pctx.spec
+    child_rs = spec.embedded.get(fo.rsname)
+    if not child_rs:
+        raise ValueError(f"unknown embedded template {fo.rsname}")
+
+    src = fo.source
+    src_col = src.col
+    is_list = src.is_array or (src.dtype or "").startswith("array")
+    if not is_list:
+        src_col = F.array(src_col)
+
+    base = fdf.select(
+        "*",
+        F.lit(subj_kind).alias("__psk"),
+        subj_val.alias("__ps"),
+        pred.alias("__pp"),
+    )
+    exploded = base.select(
+        "*", F.posexplode(src_col).alias("__li", "__el")
+    )
+
+    elem_type = exploded.schema["__el"].dataType
+    from pyspark.sql.types import StructType as _ST
+
+    elem_cols: dict[str, tuple[Column, str]] = {}
+    if isinstance(elem_type, _ST):
+        for f_ in elem_type.fields:
+            elem_cols[f_.name] = (
+                exploded["__el"][f_.name], f_.dataType.simpleString()
+            )
+
+    if fo.shielded:
+        # smap_to: ONLY the element fields + $this; no inherited context, no
+        # $listIndex (template_support.py:445-458)
+        child_cols = dict(elem_cols)
+        child_cols["$this"] = (exploded["__el"], elem_type.simpleString())
+        child_consts: dict[str, Any] = {"$resourceID": child_rs.name}
+        cctx2 = pctx.child(exploded, child_cols, child_consts, shielded=True)
+    else:
+        child_cols = {
+            k: (exploded[k], v[1]) for k, v in pctx.columns.items()
+            if k in exploded.columns
+        }
+        child_cols.update(elem_cols)
+        child_cols["$this"] = (exploded["__el"], elem_type.simpleString())
+        child_cols["$parentID"] = (exploded["__ps"], "string")
+        if is_list:
+            child_cols["$listIndex"] = (exploded["__li"], "int")
+        consts = dict(pctx.constants)
+        consts["$resourceID"] = child_rs.name
+        cctx2 = pctx.child(exploded, child_cols, consts)
+        cctx2.constants["__vocab__"] = pctx.constants["__vocab__"]
+        cctx2.constants["__vocab_seen__"] = pctx.constants["__vocab_seen__"]
+
+    cond = filters_condition(child_rs, cctx2)
+    cdf = exploded.filter(cond) if cond is not None else exploded
+    cctx3 = cctx2.child(cdf, dict(cctx2.columns), dict(cctx2.constants))
+    if not fo.shielded:
+        cctx3.constants["__vocab__"] = cctx2.constants["__vocab__"]
+        cctx3.constants["__vocab_seen__"] = cctx2.constants["__vocab_seen__"]
+
+    out: list[DataFrame] = []
+    if child_rs.pattern is not None:
+        value = compile_pattern(child_rs.pattern, cctx3)
+        if isinstance(value, EmbeddedFanout):
+            raise ValueError("nested map_to inside literal template")
+        links = _emit_links(cdf, graph, inverse, value)
+        out.append(links)
+        return out
+
+    child_dfs = _compile_resource_body(child_rs, cctx3, cdf, graph)
+    out.extend(child_dfs)
+    child_bl = cctx3.backlinks.get(child_rs.name)
+    if child_bl is not None and child_bl.value_col is not None:
+        term_ve = ValueExpr(
+            term_struct(child_bl.kind_col, child_bl.value_col), form="term"
+        )
+        out.append(_emit_links(cdf, graph, inverse, term_ve))
+    return out
+
+
+def _emit_links(cdf: DataFrame, graph: str | None, inverse: bool,
+                value: ValueExpr) -> DataFrame:
+    """Parent link triples from the exploded frame (parent cols carried)."""
+    if value.is_array:
+        quads = F.filter(
+            F.transform(
+                value.col,
+                lambda t: _carried_quad(graph, t, inverse),
+            ),
+            lambda q: q.isNotNull(),
+        )
+        return cdf.select(F.explode(quads).alias("q")).select("q.*")
+    quad = _carried_quad(graph, value.col, inverse)
+    return cdf.select(quad.alias("q")).where(
+        F.col("q").isNotNull()
+    ).select("q.*")
+
+
+def _carried_quad(graph: str | None, term: Column, inverse: bool) -> Column:
+    subj_kind = F.col("__psk")
+    subj_val = F.col("__ps")
+    pred = F.col("__pp")
+    if inverse:
+        s_k, s_v = term["k"], term["v"]
+        o_k, o_v = subj_kind, subj_val
+        odt = F.lit(None).cast("string")
+        olg = F.lit(None).cast("string")
+    else:
+        s_k, s_v = subj_kind, subj_val
+        o_k, o_v = term["k"], term["v"]
+        odt, olg = term["dt"], term["lg"]
+    quad = F.struct(
+        F.lit(graph).cast("string").alias("g"),
+        s_k.cast("string").alias("sk"),
+        s_v.cast("string").alias("s"),
+        pred.cast("string").alias("p"),
+        o_k.cast("string").alias("ok"),
+        o_v.cast("string").alias("o"),
+        odt.cast("string").alias("odt"),
+        olg.cast("string").alias("olg"),
+    )
+    return F.when(term.isNotNull() & term["v"].isNotNull() &
+                  s_v.isNotNull(), quad)

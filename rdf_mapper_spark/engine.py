@@ -1,5 +1,122 @@
-"""Placeholder — replaced by the full compiler-backed engine."""
+"""MapperEngine: mapping spec + input DataFrame -> deduplicated quad DataFrame.
+
+Lifecycle (SURVEY.md §3.4):
+
+    YAML spec --driver--> models --compile--> per-resource Column plans
+      -> scan -> filters (pushed down) -> mint IRIs/values (codegen exprs +
+      hash/date pandas UDFs) -> explodes -> per-resource quad DFs
+      -> union -> autoCV distinct-label side aggregation
+      -> salted dropDuplicates (RDF set semantics)
+
+One-offs and auto-declared vocabulary are constant-folded on the driver
+(pyeval) — they are row-independent by construction (reference processes
+one_offs once before any row, template_processor.py:29-33).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark import pyeval
+from rdf_mapper_spark.compiler.context import Backlink, CompileCtx, df_columns
+from rdf_mapper_spark.compiler.resources import autocv_side_quads, compile_resource
+from rdf_mapper_spark.quads import (
+    dedup_quads,
+    empty_quads,
+    quads_from_rows,
+    union_quads,
+)
+from rdf_mapper_spark.sources import with_row_ordinal
+from rdf_mapper_spark.spec import DEFAULT_GRAPH, MappingSpec
 
 
-class MapperEngine:  # pragma: no cover - stub
-    pass
+class MapperEngine:
+    def __init__(self, spec: MappingSpec,
+                 alias_map: dict[str, str] | None = None,
+                 dedup_salt: int = 0) -> None:
+        self.spec = spec
+        self.alias_map = alias_map or {}
+        self.dedup_salt = dedup_salt
+        self.warnings: list[str] = []
+        self.preserved_graphs: set[str] = set()
+        # fold one-offs once on the driver
+        self._oneoff_state = pyeval.EvalState(spec)
+        base_ctx = {**spec.context, "$file": None, "$row": None,
+                    "$graph": DEFAULT_GRAPH}
+        for one_off in spec.one_offs:
+            pyeval.process_resource(one_off, base_ctx, self._oneoff_state)
+        self.preserved_graphs |= self._oneoff_state.preserved_graphs
+
+    # ------------------------------------------------------------------
+    def apply(self, df: DataFrame, file_name: str = "file",
+              row_order_col: str | None = None,
+              dedup: bool = True) -> DataFrame:
+        """Compile + apply the mapping; returns the quad DataFrame."""
+        spark = df.sparkSession
+        prepared = self._prepare(df, file_name, row_order_col)
+        constants: dict[str, Any] = dict(self.spec.context)
+        constants.setdefault("$graph", DEFAULT_GRAPH)
+        constants["__alias_map__"] = self.alias_map
+        cctx = CompileCtx(
+            spec=self.spec,
+            df=prepared,
+            constants=constants,
+            columns=df_columns(prepared),
+        )
+        # one-off subjects are backref targets (<::name>)
+        for name, term in self._oneoff_state.backlinks.items():
+            if hasattr(term, "kind"):
+                cctx.backlinks[name] = Backlink(const=term)
+
+        plans: list[DataFrame] = []
+        for rs in self.spec.resources:
+            plans.extend(compile_resource(rs, cctx))
+            if rs.graph and rs.preserved_graph:
+                state = pyeval.EvalState(self.spec)
+                g = pyeval.uri_expand(rs.graph, dict(constants), state)[0]
+                self.preserved_graphs.add(g)
+        for use in cctx.autocv_uses:
+            plans.append(
+                autocv_side_quads(use, self.spec,
+                                  str(constants.get("$datasetBase")))
+            )
+        if self._oneoff_state.quads:
+            rows = [q.as_row() for q in self._oneoff_state.quads]
+            plans.append(quads_from_rows(spark, rows))
+        self.warnings.extend(cctx.warnings)
+        if not plans:
+            return empty_quads(spark)
+        out = union_quads(plans)
+        return dedup_quads(out, salt=self.dedup_salt) if dedup else out
+
+    # ------------------------------------------------------------------
+    def _prepare(self, df: DataFrame, file_name: str,
+                 row_order_col: str | None) -> DataFrame:
+        """Attach the $file / $row pseudo-columns.
+
+        Tests may pre-supply them. At web scale the mapping should key
+        subject identity on content columns (url / content hashes) instead
+        of ordinals — see SURVEY.md §7.4(2); with_row_ordinal documents the
+        scalable two-phase ordinal when ordinals are genuinely required.
+        """
+        out = df
+        if "$file" not in out.columns:
+            out = out.withColumn("$file", F.lit(file_name))
+        if "$row" not in out.columns and self._needs_row_ordinal():
+            out = with_row_ordinal(out, order_col=row_order_col,
+                                   out_col="$row")
+        return out
+
+    def _needs_row_ordinal(self) -> bool:
+        """$row / default <row> subjects require the ordinal column; specs
+        keyed on content columns skip the ordinal work entirely."""
+        blobs = []
+        for rs in list(self.spec.resources) + list(self.spec.embedded.values()):
+            blobs.append(str(rs.model.model_dump()))
+            if rs.prop_template("@id") is None and rs.pattern is None:
+                return True
+        text = " ".join(blobs)
+        return "<row>" in text or "$row" in text

@@ -1,0 +1,122 @@
+"""Output sinks (reference K1-K6, template_processor.py:72-134).
+
+Production path at 100 TB: `write_nquads` (one text line per quad,
+embarrassingly parallel) or partitioned parquet graph tables
+(`write_graph_tables`, partitioned by graph -> per-graph overwrite maps to
+the reference's DROP GRAPH + INSERT semantics). Turtle/TriG and the SPARQL
+update/delete scripts are driver-side serializations for test/interop scale,
+exactly like the reference's rdflib serializer usage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from rdf_mapper_spark.quads import DEFAULT_GRAPH, nquads_lines
+from rdf_mapper_spark.terms import Quad, Term
+from rdf_mapper_spark.turtle import serialize_turtle, _fmt_term, _fmt_iri
+
+
+def write_nquads(quads: DataFrame, path: str, mode: str = "overwrite") -> None:
+    nquads_lines(quads).write.mode(mode).text(path)
+
+
+def write_graph_tables(quads: DataFrame, path: str,
+                       mode: str = "overwrite") -> None:
+    """Quad table partitioned by graph — the Iceberg-style materialization.
+
+    Partition-by-graph makes per-graph replace (= reference DROP+INSERT,
+    template_processor.py:72-82) a metadata-only dynamic-partition
+    overwrite; no rewrite of untouched graphs.
+    """
+    (
+        quads.withColumn("g", quads["g"])
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("g")
+        .parquet(path)
+    )
+
+
+def _collect(quads: DataFrame) -> list[Quad]:
+    return [
+        Quad(g, Term(sk, s), p, Term(ok, o, odt, olg))
+        for g, sk, s, p, ok, o, odt, olg in (
+            tuple(r) for r in quads.select(
+                "g", "sk", "s", "p", "ok", "o", "odt", "olg"
+            ).collect()
+        )
+    ]
+
+
+def turtle_string(quads: DataFrame, namespaces: dict[str, str] | None = None) -> str:
+    """Driver-side Turtle of the default graph — TEST SCALE ONLY."""
+    return serialize_turtle(_collect(quads), namespaces or {})
+
+
+def _graph_block(qs: list[Quad], prefixes: dict[str, str]) -> str:
+    lines = []
+    for q in sorted(qs, key=lambda q: (q.s.value, q.p, q.o.value)):
+        lines.append(
+            f"    {_fmt_term(q.s, prefixes)} {_fmt_iri(q.p, prefixes)} "
+            f"{_fmt_term(q.o, prefixes)} ."
+        )
+    return "\n".join(lines)
+
+
+def sparql_update_script(quads: DataFrame, preserved_graphs: set[str],
+                         namespaces: dict[str, str] | None = None) -> str:
+    """DROP SILENT GRAPH for non-preserved graphs + INSERT DATA per graph
+    (reference write_as_update, template_processor.py:72-82)."""
+    prefixes = namespaces or {}
+    by_graph: dict[str | None, list[Quad]] = {}
+    for q in _collect(quads):
+        by_graph.setdefault(q.g, []).append(q)
+    out = []
+    for p, u in sorted(prefixes.items()):
+        out.append(f"PREFIX {p}: <{u}>")
+    for g, qs in sorted(by_graph.items(), key=lambda kv: str(kv[0])):
+        gname = g if g is not None else DEFAULT_GRAPH
+        if gname not in preserved_graphs and g is not None:
+            out.append(f"DROP SILENT GRAPH <{gname}> ;")
+        out.append("INSERT DATA {")
+        if g is not None:
+            out.append(f"GRAPH <{g}> {{")
+        out.append(_graph_block(qs, prefixes))
+        if g is not None:
+            out.append("}")
+        out.append("};")
+    return "\n".join(out) + "\n"
+
+
+def sparql_delete_script(quads: DataFrame, preserved_graphs: set[str],
+                         namespaces: dict[str, str] | None = None) -> str:
+    """DROP non-preserved graphs; DELETE DATA for preserved (@graphAdd)
+    graphs (reference write_as_delete, template_processor.py:84-97)."""
+    prefixes = namespaces or {}
+    by_graph: dict[str | None, list[Quad]] = {}
+    for q in _collect(quads):
+        by_graph.setdefault(q.g, []).append(q)
+    out = []
+    if preserved_graphs:
+        for p, u in sorted(prefixes.items()):
+            out.append(f"PREFIX {p}: <{u}>")
+    for g, qs in sorted(by_graph.items(), key=lambda kv: str(kv[0])):
+        gname = g if g is not None else DEFAULT_GRAPH
+        if gname not in preserved_graphs and g is not None:
+            out.append(f"DROP SILENT GRAPH <{gname}> ;")
+        elif gname in preserved_graphs:
+            out.append("DELETE DATA {")
+            if g is not None:
+                out.append(f"GRAPH <{g}> {{")
+            out.append(_graph_block(qs, prefixes))
+            if g is not None:
+                out.append("}")
+            out.append("};")
+    return "\n".join(out) + "\n"
+
+
+def read_graph_tables(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
