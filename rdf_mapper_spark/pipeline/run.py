@@ -1,0 +1,116 @@
+"""End-to-end web-scale KG construction (the BASELINE north rule flow).
+
+    pages -> extract -> link -> candidate triples (template engine)
+          -> canonicalize (CC over sameAs evidence) -> dedup -> materialize
+
+The candidate-triple stage IS the template engine: the mapping below is an
+ordinary mapping spec compiled over the linked-pages DataFrame, so the
+benchmark throughput measures the engine itself at scale.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.engine import MapperEngine
+from rdf_mapper_spark.pipeline.canonicalize import (
+    canonical_mapping,
+    rewrite_canonical,
+    sameas_edges_from_aliases,
+)
+from rdf_mapper_spark.pipeline.checkpoint import StageRunner
+from rdf_mapper_spark.pipeline.extract import with_extracted_text
+from rdf_mapper_spark.pipeline.linking import linked_pages
+from rdf_mapper_spark.quads import dedup_quads
+from rdf_mapper_spark.sinks import write_graph_tables
+from rdf_mapper_spark.spec import MappingSpec
+
+#: The KG mapping applied to linked pages. Deterministic, content-keyed
+#: subjects (urls / entity IRIs) — no row ordinals anywhere, per
+#: SURVEY.md §7.4(2).
+PIPELINE_SPEC = {
+    "globals": {"$datasetBase": "http://kg.example.org"},
+    "resources": [
+        {
+            "name": "page",
+            "properties": {
+                "@id": "<{url}>",
+                "@type": "<{$datasetBase}/def/WebPage>",
+                "<dct:language>": "{lang}",
+                "<dct:date>": "{warc_ts}",
+                "<{$datasetBase}/def/mentions>": "<{entity_iri}>",
+            },
+        },
+        {
+            "name": "entity",
+            "properties": {
+                "@id": "<{entity_iri}>",
+                "@type": "<{entity_type}>",
+                "<skos:prefLabel>": "{mention}",
+            },
+        },
+    ],
+}
+
+
+def build_quads(linked: DataFrame) -> DataFrame:
+    """Candidate quads from linked pages (no dedup — staged separately)."""
+    spec = MappingSpec(PIPELINE_SPEC, auto_declare=False)
+    engine = MapperEngine(spec)
+    return engine.apply(linked, file_name="pages", dedup=False)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    workdir: Optional[str] = None,
+    dedup_salt: int = 16,
+    materialize: bool = True,
+) -> dict:
+    """Run all stages; returns metrics incl. emitted triple count + timings.
+
+    With ``workdir`` set, every stage checkpoints and is resumable; without,
+    the plan runs fused (fastest single-pass benchmark mode).
+    """
+    t0 = time.time()
+    runner = StageRunner(spark, workdir or "", enabled=workdir is not None)
+    fp = f"pages:{len(pages.columns)}"
+
+    extracted = runner.run(
+        "extract",
+        lambda: with_extracted_text(pages).select(
+            "url", "warc_ts",
+            F.col("extracted_text").alias("text"), "lang",
+        ),
+        fingerprint=fp,
+    )
+    linked = runner.run(
+        "link", lambda: linked_pages(extracted, aliases), fingerprint=fp
+    )
+    candidate = runner.run(
+        "triples", lambda: build_quads(linked), fingerprint=fp
+    )
+
+    def canonical() -> DataFrame:
+        edges = sameas_edges_from_aliases(aliases)
+        mapping = canonical_mapping(edges)
+        rewritten = rewrite_canonical(candidate, mapping)
+        return dedup_quads(rewritten, salt=dedup_salt)
+
+    final = runner.run("canonical", canonical, fingerprint=fp)
+
+    n_triples = final.count()
+    if materialize and workdir:
+        write_graph_tables(final, f"{workdir}/graph_tables")
+    wall = time.time() - t0
+    return {
+        "triples": n_triples,
+        "wall_sec": round(wall, 3),
+        "triples_per_sec": round(n_triples / wall, 1) if wall > 0 else None,
+        "stages": runner.metrics,
+    }

@@ -1,0 +1,88 @@
+"""Web-scale pipeline tests at toy scale: extraction byte-identity,
+linking, connected-components canonicalization, checkpoint resume."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.pipeline.canonicalize import (
+    canonical_mapping,
+    connected_components,
+    sameas_edges_from_aliases,
+)
+from rdf_mapper_spark.pipeline.datagen import make_alias_dict, make_pages
+from rdf_mapper_spark.pipeline.extract import extract_text, with_extracted_text
+from rdf_mapper_spark.pipeline.linking import detect_mentions, link_entities
+from rdf_mapper_spark.pipeline.run import run_pipeline
+
+
+def test_extraction_byte_identity(spark):
+    """Distributed extraction must match the reference extractor per url."""
+    pages = make_pages(spark, 200, n_entities=30)
+    got = {
+        r["url"]: r["t"]
+        for r in with_extracted_text(pages)
+        .select("url", F.col("extracted_text").alias("t")).collect()
+    }
+    for r in pages.select("url", "html").collect():
+        assert got[r["url"]] == extract_text(bytes(r["html"])), r["url"]
+
+
+def test_extraction_determinism(spark):
+    pages = make_pages(spark, 50, n_entities=10)
+    a = sorted(with_extracted_text(pages).select("extracted_text").toPandas()
+               ["extracted_text"])
+    b = sorted(with_extracted_text(pages).select("extracted_text").toPandas()
+               ["extracted_text"])
+    assert a == b
+
+
+def test_linking_finds_planted_entities(spark):
+    pages = make_pages(spark, 300, n_entities=40)
+    aliases = make_alias_dict(spark, 40)
+    links = link_entities(pages, aliases)
+    n = links.count()
+    # 3 mentions planted per page; every mention is in the dictionary
+    assert n >= 300 * 2, n
+    assert links.where(~F.col("entity_iri").startswith("http://")).count() == 0
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z")], ["src", "dst"]
+    )
+    comp = {r["node"]: r["comp"]
+            for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_canonical_mapping_merges_legacy(spark):
+    aliases = make_alias_dict(spark, 30)
+    mapping = canonical_mapping(sameas_edges_from_aliases(aliases))
+    rows = {r["iri"]: r["canonical"] for r in mapping.collect()}
+    # every legacy IRI maps to the canonical entity IRI
+    assert rows["http://kg.example.org/legacy/0"] == \
+        "http://kg.example.org/entity/0"
+    assert all("/legacy/" in k for k in rows), rows
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    pages = make_pages(spark, 400, n_entities=50)
+    aliases = make_alias_dict(spark, 50)
+    workdir = str(tmp_path / "ckpt")
+    m1 = run_pipeline(spark, pages, aliases, workdir=workdir,
+                      materialize=False)
+    assert m1["triples"] > 400
+    # no legacy IRIs survive canonicalization
+    final = spark.read.parquet(f"{workdir}/canonical")
+    assert final.where(F.col("s").contains("/legacy/")).count() == 0
+    assert final.where((F.col("ok") == "iri")
+                       & F.col("o").contains("/legacy/")).count() == 0
+    # second run resumes every stage from checkpoint
+    m2 = run_pipeline(spark, pages, aliases, workdir=workdir,
+                      materialize=False)
+    assert m2["triples"] == m1["triples"]
+    assert all(v.get("resumed") for v in m2["stages"].values()), m2["stages"]
+    # lineage metrics recorded per partition
+    assert all("per_partition" in v or v.get("resumed")
+               for v in m1["stages"].values())
