@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: one JSON line on stdout.
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "triples": N, "triples_per_sec": N, "cpus": N}
+
+Env:
+    SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+    SPARK_GRAFT_PAGES   synthetic pages for the KG pipeline
+                        (default 1_000_000 * sf)
+
+The KG pipeline (extract -> link -> triples -> canonicalize -> dedup) is the
+primary metric — triples/sec matches BASELINE.json. The remaining headline
+queries cover dedup/LSH, joins/aggregation, ANN and text analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rdf-mapper-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(1_000_000 * sf))))
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from rdf_mapper_spark.pipeline.datagen import make_alias_dict, make_pages
+    from rdf_mapper_spark.pipeline.run import run_pipeline
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # q1: full KG-construction pipeline (the BASELINE metric)
+    pages = make_pages(spark, n_pages, n_entities=2000)
+    aliases = make_alias_dict(spark, 2000)
+    t0 = time.time()
+    metrics = run_pipeline(spark, pages, aliases, workdir=None,
+                           materialize=False)
+    timings["kg_pipeline"] = round(time.time() - t0, 3)
+    extras["triples"] = metrics["triples"]
+    extras["triples_per_sec"] = round(
+        metrics["triples"] / timings["kg_pipeline"], 1
+    )
+
+    # q2-q7: headline operator queries over the driver tables
+    headline = [
+        "kg_flagship", "kg_typed_literals", "dedup_minhash_buckets",
+        "pricing_summary", "segment_revenue", "ann_topk", "text_analysis",
+    ]
+    queries = entry_mod.queries()
+    for name in headline:
+        t0 = time.time()
+        n = queries[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pages": n_pages,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

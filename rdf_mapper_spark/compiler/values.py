@@ -47,6 +47,7 @@ _DTYPE_XSD = {
     "boolean": XSD + "boolean",
     "date": XSD + "date",
     "timestamp": XSD + "dateTime",
+    "timestamp_ntz": XSD + "dateTime",
     "decimal": XSD + "decimal",
 }
 
@@ -91,7 +92,7 @@ class ValueExpr:
 
 def lexical_column(col: Column, dtype: str | None) -> Column:
     """Canonical lexical form of a native value (rdflib Literal parity)."""
-    if dtype == "timestamp":
+    if dtype in ("timestamp", "timestamp_ntz"):
         return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
     if dtype == "boolean":
         return F.when(col, "true").otherwise("false")

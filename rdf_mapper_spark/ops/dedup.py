@@ -1,0 +1,267 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding near-dup.
+
+Design rules for 100 TB:
+  * every hash is md5/xxhash over deterministic strings — idempotent re-runs
+    and (for md5) bit-identical DuckDB oracles;
+  * candidate generation never goes quadratic: LSH bands / hash buckets
+    first, pairwise verification only within buckets;
+  * the only shuffles are the groupBys on bucket keys (salted by the band
+    index by construction — band id is part of the key, so hot buckets
+    split across bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.ops.text import tokens_col
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """-> (fp, n_docs, keep_id): one row per distinct content hash.
+
+    Map-side partial aggregation handles the shuffle; the hot-key case
+    (one document duplicated millions of times) is bounded because the
+    aggregate is associative (count/min)."""
+    fp = F.md5(F.col(text_col))
+    return (
+        docs.select(fp.alias("fp"), F.col(id_col).alias("id"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one document per distinct text (the min id)."""
+    w = exact_dedup_groups(docs, text_col, id_col)
+    return docs.join(
+        w.select(F.col("keep_id").alias(id_col)), id_col, "inner"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-set / n-gram Jaccard
+# ---------------------------------------------------------------------------
+def shingles_col(text: Column, n: int) -> Column:
+    """Word n-gram shingles (n=1 -> token set)."""
+    toks = tokens_col(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    grams = F.when(count > 0, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 1,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: explode shingles -> self-join per shingle ->
+    count shared shingles per pair -> Jaccard from |A|,|B|,|A∩B|.
+    Shuffle key is the shingle, so common shingles are the skew risk —
+    at scale, drop top-frequency shingles first (stop-shingle filter) or
+    use minhash_lsh_pairs below; this exact variant is the verifier.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    ex = base.select("id", "sz", F.explode("sh").alias("s"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "s")
+    b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(docs: DataFrame, num_hashes: int = 16, n: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """-> (id, sig: array<string>) — md5-based minhash per hash function.
+
+    h_i(shingle) = md5(i || ':' || shingle); the signature element is the
+    minimum digest string. md5 keeps the whole construction reproducible in
+    DuckDB for oracle checks; swap in xxhash64 for raw speed in production.
+    """
+    sh = shingles_col(F.col(text_col), n)
+    sig = F.array(*[
+        F.array_min(F.transform(
+            sh, _minhash_fn(i)
+        ))
+        for i in range(num_hashes)
+    ])
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def _minhash_fn(i: int):
+    return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+
+def lsh_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the signature -> (id, band, bucket). Bucket = md5 of the band
+    slice, so the groupBy key space is uniform."""
+    rows_per_band = None
+    out = signatures
+    sig_len_col = F.size("sig")
+    # derive rows-per-band from the first row's signature length lazily:
+    # signatures are fixed-length arrays built by minhash_signature
+    def band_bucket(b: int) -> Column:
+        start = F.lit(b).cast("int") * (sig_len_col / F.lit(bands)).cast("int") + 1
+        width = (sig_len_col / F.lit(bands)).cast("int")
+        return F.md5(F.array_join(F.slice(F.col("sig"), start, width), "|"))
+
+    bucket_rows = [
+        out.select(
+            "id", F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+        )
+        for b in range(bands)
+    ]
+    result = bucket_rows[0]
+    for r in bucket_rows[1:]:
+        result = result.unionByName(r)
+    return result
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      verify_threshold: float | None = None) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash; optional exact verify.
+
+    Pairs sharing ANY band bucket are candidates (standard banding: a pair
+    with Jaccard j collides with prob 1-(1-j^r)^b). The bucket-join is the
+    only shuffle; the band id inside the key splits hot content across
+    bands."""
+    sigs = minhash_signature(docs, num_hashes=num_hashes, n=n,
+                             text_col=text_col, id_col=id_col)
+    buckets = lsh_buckets(sigs, bands=bands)
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = jaccard_pairs(docs, verify_threshold, n=n, text_col=text_col,
+                          id_col=id_col)
+    return cand.join(exact, ["id_a", "id_b"], "inner")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over tokens, using xxhash64(token) bit votes.
+
+    Implemented as 64 bit-count expressions over the token array — heavy on
+    expression count but fully codegen'd; no shuffle, no Python.
+    """
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = []
+    for bit in range(64):
+        votes = F.aggregate(
+            hashes, F.lit(0).cast("bigint"),
+            _bit_vote_fn(bit),
+        )
+        bits.append(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("bigint"), bit))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def _bit_vote_fn(bit: int):
+    def vote(acc: Column, h: Column) -> Column:
+        is_set = F.shiftright(h, bit) % 2 != 0
+        return acc + F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
+
+    return vote
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    4 bands of 16 bits: any pair within Hamming<=3 shares at least one
+    exact 16-bit band (pigeonhole), so the candidate join is on band keys,
+    never all-pairs."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     simhash64(F.col(text_col)).alias("h"))
+    bands = []
+    for b in range(4):
+        key = F.shiftrightunsigned(F.col("h"), b * 16).bitwiseAND(
+            F.lit(0xFFFF).cast("bigint")
+        )
+        bands.append(sh.select("id", "h", F.lit(b).alias("band"),
+                               key.alias("key")))
+    banded = bands[0]
+    for df in bands[1:]:
+        banded = banded.unionByName(df)
+    a = banded.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+                      "band", "key")
+    b2 = banded.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"),
+                       "band", "key")
+    cand = (
+        a.join(b2, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b").distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Pairs with cosine >= threshold. Exact all-pairs variant — the
+    verifier for the LSH path in ops.similarity; at scale bucket first."""
+    from rdf_mapper_spark.ops.similarity import cosine_expr
+
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("v_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,102 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. Pure Column expressions — whole-stage codegen,
+no Python anywhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "les"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "zu", "den", "von"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens_col(text)
+    hits = F.size(F.filter(
+        toks, lambda t: t.isin(STOPWORDS.get(lang, STOPWORDS["en"]))
+    ))
+    return F.when(F.size(toks) > 0,
+                  hits.cast("double") / F.size(toks).cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+def _isin_fn(words: list[str]):
+    return lambda t: t.isin(words)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language guess; 'und' when nothing matches."""
+    toks = tokens_col(text)
+    votes = {
+        lang: F.size(F.filter(toks, _isin_fn(list(ws))))
+        for lang, ws in STOPWORDS.items()
+    }
+    best = None
+    best_count = None
+    for lang, cnt in votes.items():
+        if best is None:
+            best, best_count = F.lit(lang), cnt
+        else:
+            cond = cnt > best_count
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_count = F.when(cond, cnt).otherwise(best_count)
+    return F.when(best_count > 0, best).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length band + alpha ratio + mean word len.
+
+    The exact formula is arbitrary (as in any web-text pipeline); what
+    matters is that it is deterministic, cheap, and fully JVM-side.
+    """
+    n = F.length(text)
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n.cast("double")) \
+        .otherwise(F.lit(0.0))
+    mean_wl = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    len_band = F.when((n_tok >= 20) & (n_tok <= 100000), F.lit(1.0)) \
+        .when(n_tok >= 5, F.lit(0.5)).otherwise(F.lit(0.0))
+    wl_band = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(1.0)) \
+        .otherwise(F.lit(0.3))
+    return F.round((len_band + alpha_ratio + wl_band) / F.lit(3.0), 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 over lowercased token join.
+
+    md5 is bit-identical across Spark and DuckDB, which makes the operator
+    oracle-checkable end-to-end."""
+    return F.md5(F.array_join(tokens_col(text), " "))
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
