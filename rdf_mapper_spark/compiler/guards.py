@@ -30,10 +30,18 @@ class _Untranslatable(Exception):
 
 
 class _GuardTranslator:
-    """Translate a Python expression AST over row variables to a Column."""
+    """Translate a Python expression AST over row variables to a Column.
 
-    def __init__(self, cctx) -> None:
+    ``positive`` tracks whether we are under an even number of negations in
+    a filter context: there, SQL's null-drops-row already equals Python's
+    False-from-None/raise semantics, so comparisons stay BARE and remain
+    pushable into the parquet scan (EqualTo/GreaterThan row-group skipping).
+    Under a NOT, nulls must be pinned to false explicitly (coalesce).
+    """
+
+    def __init__(self, cctx, positive: bool = True) -> None:
         self.cctx = cctx
+        self.positive = positive
 
     def translate(self, node: ast.expr) -> Column:
         return self._expr(node)
@@ -47,7 +55,8 @@ class _GuardTranslator:
             return out
         if isinstance(node, ast.UnaryOp):
             if isinstance(node.op, ast.Not):
-                return ~self._as_bool(node.operand)
+                inner = _GuardTranslator(self.cctx, positive=False)
+                return ~inner._as_bool_pinned(node.operand)
             if isinstance(node.op, ast.USub):
                 return -self._expr(node.operand)
             raise _Untranslatable(ast.dump(node))
@@ -130,8 +139,11 @@ class _GuardTranslator:
                 raise _Untranslatable("membership over non-literal")
             values = [self._const_of(e) for e in right.elts]
             left = self._expr(node.left)
-            cond = F.coalesce(left.isin(values), F.lit(False))
-            return (~cond) if isinstance(op, ast.NotIn) else cond
+            raw = left.isin(values)
+            if isinstance(op, ast.NotIn):
+                # python: None not in [..] is True -> pin null to false first
+                return ~F.coalesce(raw, F.lit(False))
+            return self._pin(raw)
         left = self._expr(node.left)
         rcol = self._expr(right)
         if isinstance(op, ast.Eq):
@@ -148,9 +160,16 @@ class _GuardTranslator:
             cmp = left >= rcol
         else:
             raise _Untranslatable(ast.dump(node))
-        return F.coalesce(cmp, F.lit(False))
+        return self._pin(cmp)
+
+    def _pin(self, cmp: Column) -> Column:
+        return cmp if self.positive else F.coalesce(cmp, F.lit(False))
 
     def _as_bool(self, node: ast.expr) -> Column:
+        col = self._expr(node)
+        return self._pin(col.cast("boolean"))
+
+    def _as_bool_pinned(self, node: ast.expr) -> Column:
         col = self._expr(node)
         return F.coalesce(col.cast("boolean"), F.lit(False))
 
@@ -172,8 +191,10 @@ def compile_guard(source: str, cctx) -> Column:
     except SyntaxError:
         return F.lit(False)
     try:
+        # no top-level coalesce: Filter's null-drops-row IS the reference's
+        # "guard false/raise -> skip", and bare predicates push down
         col = _GuardTranslator(cctx).translate(tree.body)
-        return F.coalesce(col.cast("boolean"), F.lit(False))
+        return col.cast("boolean")
     except _MissingName:
         return F.lit(False)
     except _Untranslatable:

@@ -145,6 +145,56 @@ def compile_value(template: str, cctx: CompileCtx) -> ValueExpr | EmbeddedFanout
     return compile_pattern(template, cctx)
 
 
+def _pattern_strings(template: str, cctx: CompileCtx) -> ValueExpr:
+    """Light-weight pattern expansion to STRING values (pattern_expand,
+    template_support.py:103-111): like compile_pattern but yields lexical
+    strings — lang/datatype suffixes are stripped to their value part and
+    no term structs / datatype-CURIE machinery enter the expression tree.
+    Used for URI templates, where the full wrap would roughly double the
+    per-row regex work in subject minting (the hottest expression)."""
+    from rdf_mapper_spark.template import (
+        LANGSTRING_RX_JAVA as LANG_RX,
+        DATATYPE_RX_JAVA as DT_RX,
+    )
+
+    pt = parse_template(template)
+    parts: list[ValueExpr] = []
+    for seg in pt.segments:
+        if isinstance(seg, Static):
+            parts.append(ValueExpr(F.lit(seg.text), dtype="string"))
+            continue
+        ve = _compile_expansion(seg, cctx)
+        if isinstance(ve, EmbeddedFanout):
+            raise ValueError("map_to not allowed inside URI templates")
+        parts.append(ve)
+    ve = parts[0] if pt.is_single_expansion else concat_cross_product(parts)
+    if ve.form == "term":
+        out = ve.map_elements(lambda t: t["v"])
+        return replace(out, form="native", dtype="string")
+    from rdf_mapper_spark.compiler.values import _DTYPE_XSD, lexical_column
+
+    if ve.datatype is not None or _DTYPE_XSD.get(
+        (ve.dtype or "").split("(")[0]
+    ):
+        dtype = ve.dtype
+        out = ve.map_elements(lambda c: lexical_column(c, dtype))
+        return replace(out, form="native", dtype="string")
+
+    drop_unsuffixed = pt.pattern_type in ("langstring", "datatype")
+
+    def strip(c: Column) -> Column:
+        s = c.cast("string")
+        return (
+            F.when(s.isNull(), F.lit(None).cast("string"))
+            .when(s.rlike(LANG_RX), F.regexp_extract(s, LANG_RX, 1))
+            .when(s.rlike(DT_RX), F.regexp_extract(s, DT_RX, 1))
+            .otherwise(F.lit(None).cast("string") if drop_unsuffixed else s)
+        )
+
+    out = ve.map_elements(strip)
+    return replace(out, form="native", dtype="string")
+
+
 # ---------------------------------------------------------------------------
 # IRI minting (uri_expand, template_support.py:113-178)
 # ---------------------------------------------------------------------------
@@ -202,12 +252,8 @@ def compile_uri(pattern: str, cctx: CompileCtx,
             digest = sha1_b32hex_col(F.concat(*parts))
             return _absolutize(ValueExpr(digest, dtype="string"), cctx)
         # templated IRI (absolute, CURIE, or relative after expansion)
-        ve = compile_pattern(ref, cctx)
-        if isinstance(ve, EmbeddedFanout):
-            raise ValueError("map_to not allowed inside URI templates")
-        assert ve.form == "term"
-        strs = ve.map_elements(lambda t: t["v"])
-        expanded = replace(strs, form="native", dtype="string").map_elements(
+        strs = _pattern_strings(ref, cctx)
+        expanded = strs.map_elements(
             lambda c: runtime_curie_expand(c, dict(cctx.namespaces))
         )
         return _absolutize(replace(expanded, form="native", dtype="string"), cctx)
@@ -258,12 +304,15 @@ def filters_condition(rs: ResourceSpec, cctx: CompileCtx) -> Optional[Column]:
                 conds.append(F.lit(expected is not None and False))
                 continue
             col = cctx.resolve(key).col
+            # bare comparisons: a NULL result drops the row in Filter, which
+            # already matches reference semantics — and stays pushable into
+            # the parquet scan (EqualTo/In/IsNotNull row-group skipping)
             if expected is None:
                 conds.append(col.isNotNull() & (col.cast("string") != ""))
             elif isinstance(expected, list):
-                conds.append(F.coalesce(col.isin(expected), F.lit(False)))
+                conds.append(col.isin(expected))
             else:
-                conds.append(F.coalesce(col == F.lit(expected), F.lit(False)))
+                conds.append(col == F.lit(expected))
     if rs.unless:
         for key, blocked in rs.unless.items():
             if not cctx.has_var(key):

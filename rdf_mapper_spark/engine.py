@@ -53,10 +53,24 @@ class MapperEngine:
     # ------------------------------------------------------------------
     def apply(self, df: DataFrame, file_name: str = "file",
               row_order_col: str | None = None,
-              dedup: bool = True) -> DataFrame:
-        """Compile + apply the mapping; returns the quad DataFrame."""
+              dedup: bool = True,
+              cache_input: bool | None = None) -> DataFrame:
+        """Compile + apply the mapping; returns the quad DataFrame.
+
+        ``cache_input``: every resource template (plus autoCV side
+        aggregations and vocabulary gates) is an independent branch over the
+        input, so a multi-resource spec re-evaluates the input plan once per
+        branch. When the input is expensive (UDF extraction, joins), persist
+        it once; default: auto — cache when the spec fans out into more than
+        two branches. Pass False when the input is a plain table scan
+        (rescans are then cheaper than materialization).
+        """
         spark = df.sparkSession
         prepared = self._prepare(df, file_name, row_order_col)
+        if cache_input is None:
+            cache_input = len(self.spec.resources) > 2
+        if cache_input:
+            prepared = prepared.persist()
         constants: dict[str, Any] = dict(self.spec.context)
         constants.setdefault("$graph", DEFAULT_GRAPH)
         constants["__alias_map__"] = self.alias_map

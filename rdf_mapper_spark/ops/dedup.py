@@ -50,16 +50,11 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 # Token-set / n-gram Jaccard
 # ---------------------------------------------------------------------------
 def shingles_col(text: Column, n: int) -> Column:
-    """Word n-gram shingles (n=1 -> token set)."""
+    """Word n-gram shingles (n=1 -> token set), O(len) per row."""
+    from rdf_mapper_spark.ops.text import ngrams_col
+
     toks = tokens_col(text)
-    if n == 1:
-        return F.array_distinct(toks)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)
-    grams = F.when(count > 0, F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
-    )).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(ngrams_col(toks, n))
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 1,

@@ -25,6 +25,24 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+def ngrams_col(tokens: Column, n: int, sep: str = " ") -> Column:
+    """Word n-grams in O(len) via sliding zip_with (NOT per-position slices,
+    which would be O(len^2) per row — measurable at web scale)."""
+    if n == 1:
+        return tokens
+    grams = tokens
+    for k in range(1, n):
+        shifted = F.slice(
+            tokens, k + 1, F.greatest(F.size(tokens) - k, F.lit(0))
+        )
+        grams = F.zip_with(
+            grams, shifted,
+            lambda a, b: F.concat(a, F.lit(sep), b),
+        )
+    # zip_with pads the shorter side with null -> drop the null tail
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     toks = tokens_col(text)
     hits = F.size(F.filter(

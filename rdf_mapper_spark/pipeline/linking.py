@@ -14,18 +14,10 @@ from pyspark.sql import functions as F
 
 
 def _ngram_array(tokens: Column, n: int) -> Column:
-    """All n-grams of a token array, via sequence+slice (pure JVM)."""
-    if n == 1:
-        return tokens
-    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)
+    """All n-grams of a token array — O(len) sliding zip_with."""
+    from rdf_mapper_spark.ops.text import ngrams_col
 
-    def gram(i: Column) -> Column:
-        return F.array_join(F.slice(tokens, i, n), " ")
-
-    return F.when(count > 0, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return ngrams_col(tokens, n)
 
 
 def detect_mentions(pages: DataFrame, text_col: str = "text",

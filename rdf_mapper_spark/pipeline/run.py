@@ -57,11 +57,16 @@ PIPELINE_SPEC = {
 }
 
 
-def build_quads(linked: DataFrame) -> DataFrame:
-    """Candidate quads from linked pages (no dedup — staged separately)."""
+def build_quads(linked: DataFrame, cache_input: bool = True) -> DataFrame:
+    """Candidate quads from linked pages (no dedup — staged separately).
+
+    The linked-pages input carries the extraction UDF + n-gram explode +
+    broadcast join; with two resource templates it would otherwise be
+    recomputed per branch, so persist it once (cache_input)."""
     spec = MappingSpec(PIPELINE_SPEC, auto_declare=False)
     engine = MapperEngine(spec)
-    return engine.apply(linked, file_name="pages", dedup=False)
+    return engine.apply(linked, file_name="pages", dedup=False,
+                        cache_input=cache_input)
 
 
 def run_pipeline(
@@ -92,8 +97,12 @@ def run_pipeline(
     linked = runner.run(
         "link", lambda: linked_pages(extracted, aliases), fingerprint=fp
     )
+    # fused mode: persist the UDF-heavy linked input; checkpointed mode
+    # reads it back from parquet, which is already cheap to rescan
     candidate = runner.run(
-        "triples", lambda: build_quads(linked), fingerprint=fp
+        "triples",
+        lambda: build_quads(linked, cache_input=workdir is None),
+        fingerprint=fp,
     )
 
     def canonical() -> DataFrame:
