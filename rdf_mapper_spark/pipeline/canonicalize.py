@@ -20,13 +20,22 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, max_iter: int = 15,
-                         checkpoint: bool = True) -> DataFrame:
+                         checkpoint: bool = True,
+                         driver_threshold: int = 2_000_000) -> DataFrame:
     """edges(src,dst) -> (node, component=min reachable node string).
 
-    Each iteration: propagate the min label across edges, then one pointer-
-    jumping join (label <- label of label) to halve path lengths.
+    Hybrid execution: an edge set under ``driver_threshold`` is collected
+    and solved with union-find on the driver (zero shuffle rounds — the
+    common case for alias/sameAs evidence, whose size tracks the entity
+    dictionary, not the corpus). Larger graphs run the distributed loop:
+    min-label propagation + one pointer-jumping join per round, O(log d)
+    rounds, per-round checkpointing to cut lineage.
     """
     spark = edges.sparkSession
+    if driver_threshold > 0:
+        sample = edges.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            return _driver_union_find(spark, sample)
     bidir = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -71,6 +80,28 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
         if changed == 0:
             break
     return labels
+
+
+def _driver_union_find(spark, edge_rows) -> DataFrame:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, ["node", "comp"])
 
 
 def sameas_edges_from_aliases(aliases: DataFrame) -> DataFrame:

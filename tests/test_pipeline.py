@@ -50,10 +50,29 @@ def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z")], ["src", "dst"]
     )
-    comp = {r["node"]: r["comp"]
-            for r in connected_components(edges).collect()}
-    assert comp["a"] == comp["b"] == comp["c"] == "a"
-    assert comp["x"] == comp["y"] == "x"
+    # both execution paths: driver union-find and the distributed loop
+    for threshold in (2_000_000, 0):
+        comp = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                edges, driver_threshold=threshold
+            ).collect()
+        }
+        assert comp["a"] == comp["b"] == comp["c"] == "a"
+        assert comp["x"] == comp["y"] == "x"
+
+
+def test_connected_components_chain_distributed(spark):
+    """A length-9 path exercises multiple propagation+jump rounds."""
+    nodes = [f"n{i}" for i in range(10)]
+    edges = spark.createDataFrame(
+        [(nodes[i + 1], nodes[i]) for i in range(9)], ["src", "dst"]
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert set(comp.values()) == {"n0"}
 
 
 def test_canonical_mapping_merges_legacy(spark):
