@@ -59,6 +59,9 @@ class CompileCtx:
     backlinks: dict[str, Backlink] = field(default_factory=dict)
     autocv_uses: list[AutoCVUse] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
+    # (label, DataFrame of offending rows) for required-property violations
+    # (F4/K6): counted lazily by MapperEngine.count_errors()
+    error_plans: list = field(default_factory=list)
     run_timestamp: str = field(
         default_factory=lambda: _dt.datetime.now().isoformat()
     )
@@ -111,8 +114,8 @@ class CompileCtx:
         out = CompileCtx(
             spec=self.spec, df=df, constants=consts, columns=columns,
             backlinks=self.backlinks, autocv_uses=self.autocv_uses,
-            warnings=self.warnings, run_timestamp=self.run_timestamp,
-            shielded=shielded,
+            warnings=self.warnings, error_plans=self.error_plans,
+            run_timestamp=self.run_timestamp, shielded=shielded,
         )
         return out
 

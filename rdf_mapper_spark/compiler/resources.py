@@ -770,6 +770,18 @@ def _compile_property(
                             pred, inverse)
         )
         return
+    if prop_def and prop_def.required:
+        # F4/K6: a missing value for a required prop counts as a row error
+        # (template_support.py:394-395); collected lazily, counted by
+        # MapperEngine.count_errors()
+        if value.is_array:
+            missing = F.size(value.col) == 0
+        else:
+            missing = value.col.isNull() | value.col["v"].isNull()
+        pctx.error_plans.append(
+            (f"{rs.name}.{prop_def.name}:required-missing",
+             fdf.where(missing))
+        )
     emissions.append((pred, value, inverse))
 
 

@@ -101,10 +101,28 @@ class MapperEngine:
             rows = [q.as_row() for q in self._oneoff_state.quads]
             plans.append(quads_from_rows(spark, rows))
         self.warnings.extend(cctx.warnings)
+        self.error_plans = list(cctx.error_plans)
         if not plans:
             return empty_quads(spark)
         out = union_quads(plans)
         return dedup_quads(out, salt=self.dedup_salt) if dedup else out
+
+    def count_errors(self) -> dict[str, int]:
+        """Row-error accounting (reference K6, template_processor.py:35-37):
+        per-label counts of rows violating required-property constraints
+        from the most recent apply()."""
+        return {label: df.count() for label, df in
+                getattr(self, "error_plans", [])}
+
+    def check_abort_on_error(self) -> None:
+        """Reference --abort-on-error: process everything, then fail if any
+        row errored (mapper.py:49-50, template_processor.py:121-124)."""
+        counts = self.count_errors()
+        total = sum(counts.values())
+        if total > 0:
+            raise RuntimeError(
+                f"Aborting due to {total} errors: {counts}"
+            )
 
     # ------------------------------------------------------------------
     def _prepare(self, df: DataFrame, file_name: str,

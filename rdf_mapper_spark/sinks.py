@@ -120,3 +120,20 @@ def sparql_delete_script(quads: DataFrame, preserved_graphs: set[str],
 
 def read_graph_tables(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def trig_string(quads: DataFrame, namespaces: dict[str, str] | None = None) -> str:
+    """Driver-side TriG (all graphs) — TEST SCALE ONLY (reference K2)."""
+    prefixes = namespaces or {}
+    by_graph: dict[str | None, list[Quad]] = {}
+    for q in _collect(quads):
+        by_graph.setdefault(q.g, []).append(q)
+    out = [f"@prefix {p}: <{u}> ." for p, u in sorted(prefixes.items())]
+    for g, qs in sorted(by_graph.items(), key=lambda kv: str(kv[0])):
+        if g is None:
+            out.append(serialize_turtle(qs, {}))
+            continue
+        out.append(f"{_fmt_iri(g, prefixes)} {{")
+        out.append(_graph_block(qs, prefixes))
+        out.append("}")
+    return "\n".join(out) + "\n"
