@@ -38,6 +38,12 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # sandbox-only: the sf0.1 parquet files are ~0.3-11 MB, so the
+        # default 128 MB split size would cap scans at 1-3 tasks; shrink
+        # splits so scans parallelize across all cores. At real scale the
+        # default is correct (files >> cores x split size).
+        .config("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        .config("spark.sql.files.openCostInBytes", "0")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -101,7 +101,10 @@ def compile_pattern(template: str, cctx: CompileCtx) -> ValueExpr | EmbeddedFano
         result = parts[0]
     else:
         result = concat_cross_product(parts)
-    return drop_null_terms(to_terms(result, pt.pattern_type, cctx.namespaces))
+    # NB: null elements of array results are NOT filtered here (that would
+    # need an interpreted higher-order filter); emission paths drop nulls
+    # after their (codegen'd) explode instead
+    return to_terms(result, pt.pattern_type, cctx.namespaces)
 
 
 def _compile_expansion(seg: VarExpansion, cctx: CompileCtx) -> ValueExpr | EmbeddedFanout:
@@ -141,7 +144,7 @@ def compile_value(template: str, cctx: CompileCtx) -> ValueExpr | EmbeddedFanout
             )
         uris = compile_uri(template, cctx)
         out = uris.map_elements(lambda c: F.when(c.isNotNull(), iri_term(c)))
-        return drop_null_terms(replace(out, form="term"))
+        return replace(out, form="term")
     return compile_pattern(template, cctx)
 
 
@@ -578,7 +581,8 @@ def _compile_resource_body(rs: ResourceSpec, fctx: CompileCtx, fdf: DataFrame,
         subj_kind = "iri"
         sv = compile_uri(id_template, fctx, declare=False)
         subj_val = (
-            F.element_at(sv.col, 1) if sv.is_array else sv.col
+            F.element_at(F.array_compact(sv.col), 1)
+            if sv.is_array else sv.col
         )
     fdf = fdf.where(subj_val.isNotNull())
     fctx.backlinks[rs.name] = Backlink(
@@ -632,31 +636,17 @@ def _compile_resource_body(rs: ResourceSpec, fctx: CompileCtx, fdf: DataFrame,
             except ValueError as err:
                 pctx.warnings.append(f"{rs.name}.{prop}: {err} — skipped")
 
-    # ---- assemble: one array-of-quads projection, one explode ---------------
+    # ---- assemble ------------------------------------------------------
+    # Two-step emission keeps everything inside whole-stage codegen:
+    #   1. ONE projection materializes subject/predicate/term columns (the
+    #      heavy expressions evaluate once per row, CSE-friendly);
+    #   2. scalar terms explode via a plain CreateArray + post-filter
+    #      (higher-order filter/transform would force interpreted eval —
+    #      measured ~50x slower on the quad hot path);
+    #   3. each array-valued term gets its own explode-then-wrap select.
     if emissions:
-        quad_elems: list[Column] = []
-        for pred, term_ve, inverse in emissions:
-            if term_ve.is_array:
-                # single-parameter lambda (pyspark HOF bridge requirement)
-                def make_quad_fn(_p, _inv):
-                    return lambda t: _quad_struct(
-                        graph, subj_kind, subj_val, _p, t, _inv
-                    )
-
-                quad_elems.append(
-                    F.transform(term_ve.col, make_quad_fn(pred, inverse))
-                )
-            else:
-                quad_elems.append(
-                    F.array(
-                        _quad_struct(graph, subj_kind, subj_val, pred,
-                                     term_ve.col, inverse)
-                    )
-                )
-        combined = F.concat(*quad_elems) if len(quad_elems) > 1 else quad_elems[0]
-        combined = F.filter(combined, lambda q: q.isNotNull())
-        out.append(
-            fdf.select(F.explode(combined).alias("q")).select("q.*")
+        out.extend(
+            _emit_quads(fdf, graph, subj_kind, subj_val, emissions)
         )
 
     out.extend(fanouts)
@@ -665,6 +655,47 @@ def _compile_resource_body(rs: ResourceSpec, fctx: CompileCtx, fdf: DataFrame,
     vocab_rows = _drain_vocab(pctx)
     if vocab_rows:
         out.append(_const_quads_gated(fdf, vocab_rows))
+    return out
+
+
+def _emit_quads(fdf: DataFrame, graph: str | None, subj_kind: str,
+                subj_val: Column,
+                emissions: list[tuple[Column, ValueExpr, bool]]
+                ) -> list[DataFrame]:
+    proj: list[Column] = [subj_val.alias("__subj")]
+    meta: list[tuple[str, str, bool, bool]] = []  # (tcol, pcol, inverse, is_array)
+    for i, (pred, term_ve, inverse) in enumerate(emissions):
+        proj.append(term_ve.col.alias(f"__t{i}"))
+        proj.append(pred.alias(f"__p{i}"))
+        meta.append((f"__t{i}", f"__p{i}", inverse, term_ve.is_array))
+    flat = fdf.select(*proj)
+
+    out: list[DataFrame] = []
+    scalar_quads = [
+        _quad_struct(graph, subj_kind, F.col("__subj"), F.col(pcol),
+                     F.col(tcol), inverse)
+        for tcol, pcol, inverse, is_array in meta if not is_array
+    ]
+    if scalar_quads:
+        arr = (F.array(*scalar_quads) if len(scalar_quads) > 1
+               else F.array(scalar_quads[0]))
+        out.append(
+            flat.select(F.explode(arr).alias("q"))
+            .where(F.col("q").isNotNull())
+            .select("q.*")
+        )
+    for tcol, pcol, inverse, is_array in meta:
+        if not is_array:
+            continue
+        exploded = flat.select(
+            "__subj", pcol, F.explode(tcol).alias("__t")
+        ).where(F.col("__t").isNotNull() & F.col("__t")["v"].isNotNull())
+        quad = _quad_struct(graph, subj_kind, F.col("__subj"),
+                            F.col(pcol), F.col("__t"), inverse)
+        out.append(
+            exploded.select(quad.alias("q"))
+            .where(F.col("q").isNotNull()).select("q.*")
+        )
     return out
 
 
@@ -806,7 +837,8 @@ def _compile_nested_resource(
             raise ValueError("map_to inside literal resource pattern")
         # literal-resource expansion uses only the FIRST value
         # (template_support.py:277-282); emit from the child-filtered frame
-        vcol = F.element_at(value.col, 1) if value.is_array else value.col
+        vcol = (F.element_at(F.array_compact(value.col), 1)
+                if value.is_array else value.col)
         quad = _quad_struct(graph, subj_kind, subj_val, pred, vcol, inverse)
         fanouts.append(
             cdf.select(quad.alias("q")).where(F.col("q").isNotNull())
@@ -922,16 +954,18 @@ def _compile_fanout(
 
 def _emit_links(cdf: DataFrame, graph: str | None, inverse: bool,
                 value: ValueExpr) -> DataFrame:
-    """Parent link triples from the exploded frame (parent cols carried)."""
+    """Parent link triples from the exploded frame (parent cols carried).
+
+    Array values explode BEFORE the quad struct is built — plain explode +
+    WHERE stays in whole-stage codegen (HOF transform/filter would not)."""
     if value.is_array:
-        quads = F.filter(
-            F.transform(
-                value.col,
-                lambda t: _carried_quad(graph, t, inverse),
-            ),
-            lambda q: q.isNotNull(),
-        )
-        return cdf.select(F.explode(quads).alias("q")).select("q.*")
+        exploded = cdf.select(
+            "__psk", "__ps", "__pp", F.explode(value.col).alias("__t")
+        ).where(F.col("__t").isNotNull() & F.col("__t")["v"].isNotNull())
+        quad = _carried_quad(graph, F.col("__t"), inverse)
+        return exploded.select(quad.alias("q")).where(
+            F.col("q").isNotNull()
+        ).select("q.*")
     quad = _carried_quad(graph, value.col, inverse)
     return cdf.select(quad.alias("q")).where(
         F.col("q").isNotNull()
