@@ -29,7 +29,15 @@ QUAD_COLS_SQL = "g, sk, s, p, ok, o, odt, olg"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The sandbox fixtures are single-file, SINGLE-ROW-GROUP parquet: every
+    # scan collapses onto one task regardless of split size, serializing all
+    # downstream per-row work. Fan small single-file inputs out across the
+    # cluster once; on a real lake (files >> cores) this never triggers and
+    # no shuffle is added.
+    if len(df.inputFiles()) <= 1:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _doc_subject_sql() -> str:
