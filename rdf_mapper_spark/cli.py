@@ -1,0 +1,119 @@
+"""CLI parity with the reference ``mapper`` console script (mapper.py:36-66):
+
+    python -m rdf_mapper_spark.cli TEMPLATE DATAFILE [OUTFILE]
+        [--format turtle|nquads|trig|update|delete]
+        [--auto-declare] [--abort-on-error]
+        [--master local[*]] [--nquads-dir DIR]
+
+CSV and .json/.jsonlines inputs are dispatched by extension exactly like the
+reference; parquet directories/files are accepted as the web-scale input.
+Turtle/TriG/update/delete serialize driver-side (test/interop scale);
+``--nquads-dir`` writes the distributed N-Quads sink instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rdf-mapper-spark",
+        description="Transform csv/jsonlines/parquet into RDF via a mapping "
+                    "template, on Spark",
+    )
+    p.add_argument("template", help="mapping template YAML")
+    p.add_argument("datafile", help="input data (.csv, .json/.jsonlines, .parquet)")
+    p.add_argument("outfile", nargs="?", default=None,
+                   help="output file (default stdout)")
+    p.add_argument("--format", default="turtle",
+                   choices=["turtle", "nquads", "trig", "update", "delete"])
+    p.add_argument("--auto-declare", action="store_true")
+    p.add_argument("--abort-on-error", action="store_true")
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--nquads-dir", default=None,
+                   help="write distributed N-Quads to this directory instead "
+                        "of serializing on the driver")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from pyspark.sql import SparkSession
+
+    from rdf_mapper_spark.engine import MapperEngine
+    from rdf_mapper_spark.quads import DEFAULT_GRAPH
+    from rdf_mapper_spark.sinks import (
+        sparql_delete_script,
+        sparql_update_script,
+        trig_string,
+        turtle_string,
+        write_nquads,
+    )
+    from rdf_mapper_spark.sources import read_csv, read_jsonlines, read_pages
+    from rdf_mapper_spark.spec import load_spec
+
+    args = build_parser().parse_args(argv)
+    spec = load_spec(args.template, auto_declare=args.auto_declare)
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("rdf-mapper-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    name, ext = os.path.splitext(args.datafile)
+    if ext == ".csv":
+        df = read_csv(spark, args.datafile)
+    elif ext in (".json", ".jsonlines"):
+        df = read_jsonlines(spark, args.datafile)
+    elif ext in (".parquet", ""):
+        df = read_pages(spark, args.datafile)
+    else:
+        print(f"Did not recognise file type of {args.datafile}",
+              file=sys.stderr)
+        return 2
+
+    engine = MapperEngine(spec)
+    quads = engine.apply(df, file_name=os.path.basename(name))
+
+    if args.nquads_dir:
+        write_nquads(quads, args.nquads_dir)
+        out_text = f"# N-Quads written to {args.nquads_dir}\n"
+    elif args.format == "turtle":
+        out_text = turtle_string(quads, dict(spec.namespaces))
+    elif args.format == "trig":
+        out_text = trig_string(quads, dict(spec.namespaces))
+    elif args.format == "nquads":
+        from rdf_mapper_spark.quads import nquads_lines
+
+        out_text = "\n".join(
+            r["value"] for r in nquads_lines(quads).collect()
+        ) + "\n"
+    elif args.format == "update":
+        out_text = sparql_update_script(quads, engine.preserved_graphs,
+                                        dict(spec.namespaces))
+    else:
+        out_text = sparql_delete_script(quads, engine.preserved_graphs,
+                                        dict(spec.namespaces))
+
+    if args.outfile:
+        with open(args.outfile, "w", encoding="utf-8") as fh:
+            fh.write(out_text)
+    else:
+        sys.stdout.write(out_text)
+
+    if args.abort_on_error:
+        try:
+            engine.check_abort_on_error()
+        except RuntimeError as err:
+            print(str(err), file=sys.stderr)
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
