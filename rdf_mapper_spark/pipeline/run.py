@@ -98,10 +98,16 @@ def run_pipeline(
         "link", lambda: linked_pages(extracted, aliases), fingerprint=fp
     )
     # fused mode: persist the UDF-heavy linked input; checkpointed mode
-    # reads it back from parquet, which is already cheap to rescan
+    # reads it back from parquet, which is already cheap to rescan.
+    # Project to the columns the mapping actually references BEFORE the
+    # persist — `text` (~1 KB/row) would otherwise be materialized in the
+    # cache for nothing (persist defeats Catalyst column pruning).
+    triple_cols = ["url", "warc_ts", "lang", "mention", "entity_iri",
+                   "entity_type"]
     candidate = runner.run(
         "triples",
-        lambda: build_quads(linked, cache_input=workdir is None),
+        lambda: build_quads(linked.select(*triple_cols),
+                            cache_input=workdir is None),
         fingerprint=fp,
     )
 
