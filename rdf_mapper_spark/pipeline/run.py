@@ -74,13 +74,16 @@ def run_pipeline(
     pages: DataFrame,
     aliases: DataFrame,
     workdir: Optional[str] = None,
-    dedup_salt: int = 16,
+    dedup_salt: int = 0,
     materialize: bool = True,
 ) -> dict:
     """Run all stages; returns metrics incl. emitted triple count + timings.
 
     With ``workdir`` set, every stage checkpoints and is resumable; without,
     the plan runs fused (fastest single-pass benchmark mode).
+    dedup_salt=0 relies on AQE skew splitting (one shuffle); raise it when a
+    single quad repeats enough to blow a reducer even after AQE (salting
+    trades a second shuffle for bounded task input).
     """
     t0 = time.time()
     runner = StageRunner(spark, workdir or "", enabled=workdir is not None)
