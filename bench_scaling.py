@@ -80,8 +80,20 @@ def main() -> None:
 
     calib = {c: _run_py(_CALIBRATE, str(c))["calib_sec"]
              for c in (lo_cpus, hi_cpus, 32)}
-    lo = _run_py(_PIPELINE % {"here": HERE}, str(lo_cpus), str(pages))
-    hi = _run_py(_PIPELINE % {"here": HERE}, str(hi_cpus), str(pages))
+    # The sandbox host is noisy (3-5x run-to-run CPU-delivery variance), so
+    # interleave trials per level (A,B,A,B) and report each level's BEST —
+    # the standard way to measure capability rather than contention.
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+    lo_runs, hi_runs = [], []
+    for _ in range(trials):
+        lo_runs.append(_run_py(_PIPELINE % {"here": HERE},
+                               str(lo_cpus), str(pages)))
+        hi_runs.append(_run_py(_PIPELINE % {"here": HERE},
+                               str(hi_cpus), str(pages)))
+    lo = max(lo_runs, key=lambda r: r["triples_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["triples_per_sec"])
+    lo["all_trials_tps"] = [r["triples_per_sec"] for r in lo_runs]
+    hi["all_trials_tps"] = [r["triples_per_sec"] for r in hi_runs]
 
     ratio = hi_cpus / lo_cpus
     tp_lo, tp_hi = lo["triples_per_sec"], hi["triples_per_sec"]

@@ -259,7 +259,21 @@ def compile_uri(pattern: str, cctx: CompileCtx,
         expanded = strs.map_elements(
             lambda c: runtime_curie_expand(c, dict(cctx.namespaces))
         )
-        return _absolutize(replace(expanded, form="native", dtype="string"), cctx)
+        out = _absolutize(replace(expanded, form="native", dtype="string"),
+                          cctx)
+        # an EMPTY expansion falls back to {base}/data/{resourceID}
+        # (template_support.py:163-164) — it does not drop the row
+        default = (
+            f"{cctx.constants.get('$datasetBase')}/data/"
+            f"{cctx.constants.get('$resourceID')}"
+        )
+        if out.is_array:
+            compact = F.array_compact(out.col)
+            col = F.when(F.size(compact) > 0, compact).otherwise(
+                F.array(F.lit(default))
+            )
+            return replace(out, col=col)
+        return replace(out, col=F.coalesce(out.col, F.lit(default)))
     # bare name -> def namespace (+ auto-declared rdf:Property)
     _id = f"{cctx.constants.get('$datasetBase')}/def/{py_normalize(pattern)}"
     if declare and cctx.spec.auto_declare:

@@ -534,5 +534,9 @@ def run_mapping(
     for n, row in enumerate(rows, start=1):
         ctx = {**base_ctx, "$row": n, **row}
         for rs in spec.resources:
-            process_resource(rs, ctx, state)
+            try:
+                process_resource(rs, ctx, state)
+            except Exception:
+                # per-resource error tolerance (template_processor.py:52-55)
+                continue
     return state
