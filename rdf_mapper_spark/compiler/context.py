@@ -120,5 +120,13 @@ class CompileCtx:
         return out
 
 
+def quoted_col(name: str) -> Column:
+    """Column reference robust to dots/colons/spaces in the name."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def df_columns(df: DataFrame) -> dict[str, tuple[Column, str]]:
-    return {name: (df[name], simple_dtype(dtype)) for name, dtype in df.dtypes}
+    return {
+        name: (quoted_col(name), simple_dtype(dtype))
+        for name, dtype in df.dtypes
+    }

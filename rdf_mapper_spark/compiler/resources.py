@@ -924,8 +924,10 @@ def _compile_fanout(
         child_consts: dict[str, Any] = {"$resourceID": child_rs.name}
         cctx2 = pctx.child(exploded, child_cols, child_consts, shielded=True)
     else:
+        from rdf_mapper_spark.compiler.context import quoted_col
+
         child_cols = {
-            k: (exploded[k], v[1]) for k, v in pctx.columns.items()
+            k: (quoted_col(k), v[1]) for k, v in pctx.columns.items()
             if k in exploded.columns
         }
         child_cols.update(elem_cols)
