@@ -406,6 +406,45 @@ def q_kg_hash_minting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Pipeline operators: entity linking + connected components
 # ---------------------------------------------------------------------------
+JSON_SPEC = {
+    "globals": {"$datasetBase": KGB},
+    "resources": [{
+        "name": "event",
+        "properties": {
+            "@id": "<" + KGB + "/data/event/{event_id}>",
+            "<{$datasetBase}/def/k>": "{k_value | asInt}",
+        },
+    }],
+}
+
+
+def q_kg_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/JSON input columns: extract a field from the JSON props
+    string, then map it through the engine with typed coercion."""
+    from rdf_mapper_spark.engine import MapperEngine
+    from rdf_mapper_spark.spec import MappingSpec
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k_value", F.get_json_object(F.col("props"), "$.k")
+    )
+    engine = MapperEngine(MappingSpec(JSON_SPEC, auto_declare=False))
+    return engine.apply(ev, file_name="events")
+
+
+def _oracle_kg_json_props() -> str:
+    null = "CAST(NULL AS VARCHAR)"
+    return f"""
+SELECT {null} g, 'iri' sk,
+       '{KGB}/data/event/' || CAST(event_id AS VARCHAR) s,
+       '{KGB}/def/k' p, 'literal' ok,
+       CAST(CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+            AS BIGINT) AS VARCHAR) o,
+       '{XSD}integer' odt, {null} olg
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
 _LINK_ALIASES = ["spark", "table", "scan", "query", "join", "merge"]
 
 
@@ -797,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inverse_backref": q_kg_inverse_backref,
         "kg_named_graphs": q_kg_named_graphs,
         "kg_hash_minting": q_kg_hash_minting,
+        "kg_json_props": q_kg_json_props,
         "link_mentions": q_link_mentions,
         "connected_components": q_connected_components,
         "pricing_summary": q_pricing_summary,
@@ -827,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_inverse_backref": _oracle_kg_inverse_backref(),
         "kg_named_graphs": _oracle_kg_named_graphs(),
         # kg_hash_minting: rows-only (base32hex sha1 not in DuckDB)
+        "kg_json_props": _oracle_kg_json_props(),
         "link_mentions": _oracle_link_mentions(),
         "connected_components": _oracle_connected_components(),
         "pricing_summary": _oracle_pricing_summary(),

@@ -259,7 +259,10 @@ class MappingSpec:
                 pyspec = importlib.util.spec_from_file_location(name, fpath)
                 if pyspec and pyspec.loader:
                     module = importlib.util.module_from_spec(pyspec)
-                    sys.modules[name] = module
+                    # deliberately NOT registered in sys.modules: plugin
+                    # functions must cloudpickle BY VALUE so executors (and
+                    # python UDF workers) need no copy of the plugin file;
+                    # spark-submit --py-files remains the production path
                     pyspec.loader.exec_module(module)
                 else:
                     raise ImportError(f"failed to load plugin {module_name}")
