@@ -56,6 +56,48 @@ def stream_mapping(
     return writer.start()
 
 
+def stateful_quad_dedup(quad_stream: DataFrame) -> DataFrame:
+    """Cross-micro-batch RDF set semantics as a custom stateful operator.
+
+    `applyInPandasWithState` keyed on the quad fingerprint keeps one boolean
+    per distinct quad in the state store: the first occurrence is emitted,
+    replays and later duplicates are suppressed — exactly-once quad
+    emission across batches AND restarts (state is checkpointed).
+
+    At scale the state store is RocksDB-backed and the key is a 128-bit
+    fingerprint, so state size tracks distinct quads, not stream volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from rdf_mapper_spark.quads import QUAD_FIELDS
+
+    fp = F.md5(F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c), F.lit("\x00")) for c in QUAD_FIELDS
+    ]))
+    keyed = quad_stream.withColumn("__fp", fp).groupBy("__fp")
+
+    out_schema = ("g string, sk string, s string, p string, ok string, "
+                  "o string, odt string, olg string")
+
+    def emit_first(key, pdf_iter, state: GroupState):
+        if state.exists:
+            return iter(())
+        state.update((True,))
+        for pdf in pdf_iter:
+            if len(pdf):
+                yield pdf.iloc[:1][list(QUAD_FIELDS)]
+                return
+
+    return keyed.applyInPandasWithState(
+        emit_first,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def aggregate_quads_windowed(
     quad_stream: DataFrame,
     ts_col: str = "ts",

@@ -3,7 +3,7 @@
 from pyspark.sql import functions as F
 
 from rdf_mapper_spark.spec import MappingSpec
-from rdf_mapper_spark.streaming import stream_mapping
+from rdf_mapper_spark.streaming import stateful_quad_dedup, stream_mapping
 
 
 def test_stream_mapping_available_now(spark, tmp_path):
@@ -32,3 +32,42 @@ def test_stream_mapping_available_now(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 20
     assert got.where(F.col("p") == "http://example.org/kg/def/text").count() == 20
+
+
+def test_stateful_quad_dedup_across_restarts(spark, tmp_path):
+    """The applyInPandasWithState dedup suppresses duplicates across
+    micro-batches AND across query restarts (state store persistence)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "g string, sk string, s string, p string, ok string, " \
+             "o string, odt string, olg string"
+
+    def quad_row(i):
+        return (None, "iri", f"http://x/{i}", "http://x/p", "literal",
+                f"v{i}", None, None)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stateful_quad_dedup(stream)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    batch1 = [quad_row(i) for i in range(5)] + [quad_row(0), quad_row(1)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append") \
+        .parquet(src)
+    run_once()
+    assert spark.read.parquet(out).count() == 5  # intra-batch dups absorbed
+
+    # second file: 3 replays + 2 new quads; restart restores state
+    batch2 = [quad_row(0), quad_row(2), quad_row(4), quad_row(7), quad_row(8)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append") \
+        .parquet(src)
+    run_once()
+    result = spark.read.parquet(out)
+    assert result.count() == 7  # 5 + only the 2 genuinely new quads
+    assert result.select("s").distinct().count() == 7
