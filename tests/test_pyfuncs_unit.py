@@ -1,0 +1,128 @@
+"""Scalar-transformer edge-case tables, mirroring the reference unit suite
+(test_template_support.py:107-157, test_function.py) — these pin the
+semantics that the pandas UDFs and Column compilers both inherit."""
+
+import pytest
+
+from rdf_mapper_spark import pyfuncs
+from rdf_mapper_spark.spec import MappingDoc, MappingSpec, ResourceDef
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_as_int_table():
+    assert pyfuncs.as_int("1") == ("1", XSD + "integer")
+    assert pyfuncs.as_int(1) == ("1", XSD + "integer")
+    assert pyfuncs.as_int(1.99) == ("1", XSD + "integer")
+    assert pyfuncs.as_int(0) == ("0", XSD + "integer")
+    assert pyfuncs.as_int(None) is None
+    assert pyfuncs.as_int("") is None
+
+
+def test_as_decimal_table():
+    assert pyfuncs.as_decimal("1") == ("1.0", XSD + "decimal")
+    assert pyfuncs.as_decimal(1.23) == ("1.23", XSD + "decimal")
+    assert pyfuncs.as_decimal(0) == ("0.0", XSD + "decimal")
+    assert pyfuncs.as_decimal(None) is None
+
+
+def test_dates_table():
+    assert pyfuncs.as_date("2023-05-18") == ("2023-05-18", XSD + "date")
+    assert pyfuncs.as_date("18 May 2023") == ("2023-05-18", XSD + "date")
+    assert pyfuncs.as_date("2023-05-18 12:34") == ("2023-05-18", XSD + "date")
+    assert pyfuncs.as_datetime("2023-05-18 12:34") == \
+        ("2023-05-18T12:34:00", XSD + "dateTime")
+    assert pyfuncs.as_datetime("18 May 2023 12:34") == \
+        ("2023-05-18T12:34:00", XSD + "dateTime")
+    assert pyfuncs.as_date_or_datetime("18 May 2023 12:34") == \
+        ("2023-05-18T12:34:00", XSD + "dateTime")
+    assert pyfuncs.as_date_or_datetime("18 May 2023") == \
+        ("2023-05-18", XSD + "date")
+    assert pyfuncs.as_date_or_datetime("2023") == ("2023-01-01", XSD + "date")
+    assert pyfuncs.as_date_or_datetime(None) is None
+    assert pyfuncs.as_date_or_datetime("") is None
+
+
+def test_boolean_table():
+    t = ("true", XSD + "boolean")
+    f = ("false", XSD + "boolean")
+    assert pyfuncs.as_boolean("true") == t
+    assert pyfuncs.as_boolean("True") == t
+    assert pyfuncs.as_boolean("Yes") == t
+    assert pyfuncs.as_boolean("1") == t
+    assert pyfuncs.as_boolean(1) == t
+    assert pyfuncs.as_boolean(1.0) == t
+    assert pyfuncs.as_boolean("no") == f
+    assert pyfuncs.as_boolean("") == f
+    assert pyfuncs.as_boolean(None) == f
+    assert pyfuncs.as_boolean(0) == f
+    assert pyfuncs.as_boolean("y", "y") == t
+    assert pyfuncs.as_boolean("Y", "y") == t
+    assert pyfuncs.as_boolean("n", "y") == f
+
+
+def test_slug_table():
+    assert pyfuncs.slug("Hello World") == "hello-world"
+    assert pyfuncs.slug("Hello%World") == "hello_world"
+    assert pyfuncs.slug("Hello/World") == "hello_world"
+    assert pyfuncs.slug("Hello[World]") == "hello_world_"
+    assert pyfuncs.slug(123) == "123"
+    with pytest.raises(ValueError):
+        pyfuncs.slug(None)
+
+
+def test_to_entries_excludes_dollar_keys():
+    data = {"name": "Alice", "age": 30, "$internal": "ignored"}
+    assert pyfuncs.to_entries(data) == [
+        {"$key": "name", "$value": "Alice"},
+        {"$key": "age", "$value": 30},
+    ]
+
+
+def test_hash_parity_vectors():
+    """Byte parity with reference test_template_support.py:53-73."""
+    assert pyfuncs.sha1_b32hex("foo", "bar") == \
+        "H11TFU942OGHRQFBN5HVUJ72G4IP6A3O"
+    assert pyfuncs.hash_fn("foo") == "1FNCFDFA7S7TNIAT1NA7UF2RO9QTL2HJ"
+    assert pyfuncs.hash_fn(None, "foo", "bar") == \
+        pyfuncs.sha1_b32hex("foo", "bar")
+
+
+def test_normalize():
+    assert pyfuncs.normalize("a b!c") == "a_b_c"
+    assert pyfuncs.normalize("  x  ") == "x"
+    assert pyfuncs.normalize("_x_") == "x"
+    assert pyfuncs.normalize("__a") == "_a"  # only ONE edge underscore strips
+
+
+def test_spec_validators():
+    with pytest.raises(ValueError):
+        ResourceDef(name="t", pattern="{v}", properties={"p": "v"})
+    with pytest.raises(ValueError):
+        ResourceDef(name="t")
+    with pytest.raises(ValueError):
+        ResourceDef.model_validate({
+            "name": "t", "@graph": "<http://g1>", "@graphAdd": "<http://g2>",
+            "pattern": "{v}",
+        })
+
+
+def test_property_listify_and_merge():
+    from rdf_mapper_spark.spec import ResourceSpec, listify_properties
+
+    rs = ResourceSpec(ResourceDef(name="t",
+                                  properties={"p1": "v1", "p2": "v2"}))
+    assert rs.properties == [("p1", "v1"), ("p2", "v2")]
+    assert rs.prop_template("p2") == "v2"
+    # list form permits repeated keys
+    assert listify_properties([{"p": "a"}, {"p": "b"}]) == \
+        [("p", "a"), ("p", "b")]
+    # merge precedence: winner overrides
+    base = MappingSpec({"globals": {"$datasetID": "x", "k": 1},
+                        "mappings": {"m": {"a": "1"}}})
+    win = MappingSpec({"globals": {"$datasetID": "y"},
+                       "mappings": {"m": {"a": "2"}, "n": {"b": "3"}}})
+    merged = base.merged_under(win)
+    assert merged.globals["$datasetID"] == "y"
+    assert merged.globals["k"] == 1
+    assert merged.mappings == {"m": {"a": "2"}, "n": {"b": "3"}}
