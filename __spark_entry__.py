@@ -523,9 +523,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_pricing_summary() -> str:
     return """
+-- outer CAST: DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as
+-- float64 and the harness hash then diverges from Spark's int64
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(FLOOR(l_quantity) AS BIGINT)) sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         sum_base_cents,
        COUNT(*) count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -552,8 +555,8 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_segment_revenue() -> str:
     return """
 SELECT c_mktsegment,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -600,7 +603,7 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_event_rollup() -> str:
     return """
 SELECT event_type, COUNT(*) n,
-       SUM(CAST(ROUND(value*100) AS BIGINT)) value_cents,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) value_cents,
        COUNT(DISTINCT user_id) n_users
 FROM events GROUP BY event_type
 """
@@ -688,24 +691,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+_EMB_DIM = 64
+_EMB_PLANES = 4
+_EMB_SEED = 42
+_EMB_THRESHOLD = 0.38  # fixture embeddings are near-orthogonal random
+                       # vectors (max pairwise cosine ~0.48); 0.38 makes the
+                       # threshold actually fire so the green is evidence
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (the scale path): seeded random-hyperplane
+    buckets -> within-bucket exact cosine. The all-pairs crossJoin variant
+    (`embedding_near_dups_exact`) is its recall verifier in tests only."""
     from rdf_mapper_spark.ops.dedup import embedding_near_dups
 
-    return embedding_near_dups(_t(spark, sf_dir, "embeddings"),
-                               threshold=0.8)
+    return embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=_EMB_THRESHOLD,
+        n_planes=_EMB_PLANES, seed=_EMB_SEED, dim=_EMB_DIM,
+    )
 
 
 def _oracle_embedding_near_dups() -> str:
+    # replicate the seeded hyperplane bucketing exactly: the planes are
+    # driver-side constants, so DuckDB can recompute the same buckets
+    from rdf_mapper_spark.ops.similarity import hyperplanes
+
+    planes = hyperplanes(_EMB_DIM, _EMB_PLANES, _EMB_SEED)
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {list(p)!r}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
     cos = (
         "list_inner_product(a.v, b.v) / "
         "(sqrt(list_inner_product(a.v, a.v)) * "
         "sqrt(list_inner_product(b.v, b.v)))"
     )
     return f"""
-WITH t AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings)
+WITH t AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+bk AS (SELECT id, v, {bucket} AS bucket FROM t)
 SELECT a.id id_a, b.id id_b, ROUND({cos}, 4) cosine
-FROM t a, t b
-WHERE a.id < b.id AND ROUND({cos}, 4) >= 0.8
+FROM bk a JOIN bk b ON a.bucket = b.bucket
+WHERE a.id < b.id AND ROUND({cos}, 4) >= {_EMB_THRESHOLD}
 """
 
 
@@ -792,12 +819,53 @@ FROM q
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via mapInPandas (decode stubbed) —
-    rows-only check: the plumbing, schema and batch shape are the test."""
+    """Binary-payload feature extraction via mapInPandas (decode stubbed).
+
+    The raw `array<float>` feature is not canonicalizable by the harness
+    (lists are unhashable in the pandas sort), so the exposed query projects
+    it back to the md5 bytes the fake extractor derived it from:
+    feature[i] = (h[i]/255)*2-1  =>  h[i] = round((feature[i]+1)/2*255).
+    That integer fingerprint is exact (float32 has far more precision than
+    1/255 steps) and DuckDB can recompute it from md5 hex directly, giving
+    this operator a full value oracle instead of a rows-only check."""
     from rdf_mapper_spark.ops.multimodal import extract_features, synth_media
 
     media = synth_media(_t(spark, sf_dir, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.round((x.cast("double") + 1.0) / 2.0 * 255.0)
+                .cast("int").cast("string"),
+            ),
+        ).alias("feature_fp"),
+    )
+
+
+def _oracle_multimodal_features() -> str:
+    # replicate synth_media + the fake md5 feature extractor:
+    # payload = utf-8 bytes of text, feature bytes = first 8 md5 digest bytes
+    hexpos = "strpos('0123456789abcdef', {c}) - 1"
+    hi = hexpos.format(c="substr(hx, 2*i + 1, 1)")
+    lo = hexpos.format(c="substr(hx, 2*i + 2, 1)")
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image'
+                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         md5(text) AS hx
+  FROM documents)
+SELECT media_id, kind, n_bytes,
+       array_to_string(
+         list_transform(generate_series(0, 7),
+                        i -> ({hi}) * 16 + ({lo})),
+         ',') AS feature_fp
+FROM m
+"""
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,6 +950,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _oracle_ann_topk(),
         # ann_lsh: rows-only (approximate by design)
         "text_analysis": _oracle_text_analysis(),
-        # multimodal_features: rows-only (mapInPandas decode stub)
+        "multimodal_features": _oracle_multimodal_features(),
         "multimodal_frames": _oracle_multimodal_frames(),
     }

@@ -207,16 +207,33 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale.
 
-    4 bands of 16 bits: any pair within Hamming<=3 shares at least one
-    exact 16-bit band (pigeonhole), so the candidate join is on band keys,
-    never all-pairs."""
+    Band count is derived from the radius: with `bands = max_hamming + 1`
+    contiguous bit-chunks, any pair within Hamming <= max_hamming differs in
+    at most max_hamming chunks and therefore agrees exactly on at least one
+    (pigeonhole) — the candidate join is on (band, chunk-value) keys, never
+    all-pairs, and recall at the advertised radius is 100%.
+
+    Scale note: wider radii mean narrower bands (64 // bands bits), i.e.
+    larger buckets and more candidate pairs to verify — at corpus scale keep
+    max_hamming <= 7 (8-bit bands) unless the key distribution is checked.
+    """
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    # partition the 64 bits into n_bands contiguous chunks of near-equal
+    # width: chunk b = bits [64*b//n_bands, 64*(b+1)//n_bands)
     sh = docs.select(F.col(id_col).alias("id"),
                      simhash64(F.col(text_col)).alias("h"))
     bands = []
-    for b in range(4):
-        key = F.shiftrightunsigned(F.col("h"), b * 16).bitwiseAND(
-            F.lit(0xFFFF).cast("bigint")
-        )
+    for b in range(n_bands):
+        start = 64 * b // n_bands
+        width = 64 * (b + 1) // n_bands - start
+        if width >= 64:  # single band: the key is the whole hash
+            key = F.col("h")
+        else:
+            key = F.shiftrightunsigned(F.col("h"), start).bitwiseAND(
+                F.lit((1 << width) - 1).cast("bigint")
+            )
         bands.append(sh.select("id", "h", F.lit(b).alias("band"),
                                key.alias("key")))
     banded = bands[0]
@@ -242,11 +259,13 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
-                        vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
-    """Pairs with cosine >= threshold. Exact all-pairs variant — the
-    verifier for the LSH path in ops.similarity; at scale bucket first."""
+def embedding_near_dups_exact(embeddings: DataFrame, threshold: float = 0.95,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> DataFrame:
+    """Pairs with cosine >= threshold — exact all-pairs crossJoin.
+
+    VERIFIER ONLY: O(n^2); use `embedding_near_dups` (LSH-bucketed) as the
+    production path and this to measure its recall on samples."""
     from rdf_mapper_spark.ops.similarity import cosine_expr
 
     a = embeddings.select(F.col(id_col).alias("id_a"),
@@ -254,6 +273,45 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     b = embeddings.select(F.col(id_col).alias("id_b"),
                           F.col(vec_col).alias("v_b"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        n_planes: int = 4, seed: int = 42,
+                        dim: int | None = None,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Pairs with cosine >= threshold, LSH-bucketed — the scale path.
+
+    Random-hyperplane buckets (seeded, deterministic) shard the table; the
+    self-join is on the bucket key only, then exact cosine verifies within
+    buckets. Candidate volume is ~n^2 / 2^n_planes per bucket on uniform
+    data; recall per qualifying pair is (1 - theta/pi)^n_planes — tune
+    n_planes down (or union several seeded plane sets) for recall, up for
+    cost. `embedding_near_dups_exact` is the recall verifier."""
+    from rdf_mapper_spark.ops.similarity import (
+        cosine_expr,
+        hyperplanes,
+        lsh_bucket_expr,
+    )
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                        "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     cos = cosine_expr(F.col("v_a"), F.col("v_b"))
     return (
         pairs.withColumn("cosine", F.round(cos, 4))

@@ -1,0 +1,122 @@
+"""Recall guarantees of the banded near-dup operators.
+
+SimHash: with bands = max_hamming + 1 contiguous chunks, any pair within
+the radius must share at least one exact chunk (pigeonhole) — plant pairs
+at the boundary and assert they are found.
+
+Embedding LSH: the bucketed path must be a subset of the exact all-pairs
+verifier, and its per-bucket survivors must carry identical cosines.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.ops.dedup import (
+    embedding_near_dups,
+    embedding_near_dups_exact,
+    simhash64,
+    simhash_near_dups,
+)
+
+
+def _simhash_of(spark, text: str) -> int:
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(simhash64(F.col("text")).alias("h")).first()["h"]
+
+
+def _mutate_to_hamming(spark, base: str, words: list[str], target: int) -> str:
+    """Greedily append/swap words until the simhash Hamming distance from
+    `base` is exactly `target` (deterministic search over a word pool)."""
+    h0 = _simhash_of(spark, base)
+    best = None
+    pool = []
+    toks = base.split(" ")
+    # candidate variants: replace the i-th token with a pool word
+    for i in range(min(len(toks), 6)):
+        for w in words:
+            t2 = list(toks)
+            t2[i] = w
+            pool.append(" ".join(t2))
+    for cand in pool:
+        h1 = _simhash_of(spark, cand)
+        d = bin(h0 ^ h1).count("1")
+        if d == target:
+            return cand
+        if best is None or abs(d - target) < abs(best[1] - target):
+            best = (cand, d)
+    pytest.skip(f"no candidate at Hamming {target} (closest {best[1]})")
+
+
+def test_simhash_finds_pair_at_hamming_6(spark):
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "engineers review the quarterly partition strategy document")
+    words = ["zebra", "quantum", "lattice", "harbor", "velvet", "union",
+             "crimson", "oak", "tundra", "prism", "ember", "flux",
+             "granite", "ivory", "jade", "koala"]
+    near = _mutate_to_hamming(spark, base, words, 6)
+    docs = spark.createDataFrame(
+        [(1, base), (2, near),
+         (3, "completely different text about astronomy and star formation "
+             "in distant elliptical galaxies observed last spring")],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_near_dups(docs, max_hamming=6)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert (1, 2) in found, f"Hamming-6 pair missed: {found}"
+    assert found[(1, 2)] == 6
+
+
+def test_simhash_radius_guarantee_exhaustive(spark):
+    """Brute-force check on a small corpus: banded candidates == exact
+    all-pairs filter at the advertised radius (no recall loss)."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "alpha beta gamma delta epsilon zeta kappa iota",
+        "lambda mu nu xi omicron pi rho sigma",
+        "lambda mu nu xi omicron pi rho tau",
+        "totally unrelated content about parquet row groups",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    for radius in (3, 6, 10):
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_dups(docs, max_hamming=radius).collect()
+        }
+        hs = {r.doc_id: r.h for r in docs.select(
+            "doc_id", simhash64(F.col("text")).alias("h")).collect()}
+        exact = {
+            (a, b, bin(hs[a] ^ hs[b]).count("1"))
+            for a in hs for b in hs if a < b
+            and bin(hs[a] ^ hs[b]).count("1") <= radius
+        }
+        assert banded == exact, f"radius {radius}: {banded} != {exact}"
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:  # planted near-dups of base
+            v = [x + rng.gauss(0, 0.05) for x in base]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dups_exact(emb, threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_near_dups(
+               emb, threshold=0.9, n_planes=4, dim=dim).collect()}
+    assert exact, "fixture must plant pairs above the threshold"
+    assert lsh, "bucketed path found nothing — recall collapsed"
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # planted clones point the same way -> hyperplane buckets agree:
+    # recall on the planted cluster should be total here
+    assert set(lsh) == set(exact)
