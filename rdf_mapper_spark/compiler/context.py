@@ -62,6 +62,10 @@ class CompileCtx:
     # (label, DataFrame of offending rows) for required-property violations
     # (F4/K6): counted lazily by MapperEngine.count_errors()
     error_plans: list = field(default_factory=list)
+    # driver-side constant quads produced during compilation (reconcile
+    # proxy concepts + rec:possibleMatch annotations); dictionary-sized by
+    # construction, emitted by the engine as one quads_from_rows plan
+    side_quad_rows: list[tuple] = field(default_factory=list)
     run_timestamp: str = field(
         default_factory=lambda: _dt.datetime.now().isoformat()
     )
@@ -115,6 +119,7 @@ class CompileCtx:
             spec=self.spec, df=df, constants=consts, columns=columns,
             backlinks=self.backlinks, autocv_uses=self.autocv_uses,
             warnings=self.warnings, error_plans=self.error_plans,
+            side_quad_rows=self.side_quad_rows,
             run_timestamp=self.run_timestamp, shielded=shielded,
         )
         return out

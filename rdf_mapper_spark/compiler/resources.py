@@ -15,6 +15,7 @@ process_property_value), 431-604 (map_to/smap_to/map_by/reconcile/autoCV).
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import replace
 from typing import Any, Optional
 
@@ -36,6 +37,7 @@ from rdf_mapper_spark.compiler.functions import (
     sha1_b32hex_col,
 )
 from rdf_mapper_spark.compiler.values import (
+    XSD,
     ValueExpr,
     concat_cross_product,
     drop_null_terms,
@@ -56,6 +58,12 @@ from rdf_mapper_spark.spec import (
     ResourceDef,
     ResourceSpec,
     expand_curie,
+)
+from rdf_mapper_spark.reconcile import (
+    REC_LABEL,
+    REC_MATCH,
+    REC_POSSIBLE_MATCH,
+    REC_SCORE,
 )
 from rdf_mapper_spark.template import (
     DATATYPE_RX,
@@ -503,40 +511,162 @@ def autocv_side_quads(use: AutoCVUse, spec: MappingSpec,
 
 
 def compile_reconcile(ve: ValueExpr, args: list[Any], cctx: CompileCtx) -> ValueExpr:
-    """Entity linking against a broadcast alias dictionary (T19 / north rule).
+    """Entity reconciliation (T19 / north rule) — reference
+    template_support.py:482-530 + lib/reconcile.py.
 
-    The reference fires one HTTP reconciliation request per distinct
-    (key,type) (reconcile.py:23-43); at web scale the dictionary is a
-    broadcast DataFrame the engine joins against (see pipeline.linking for
-    the join-based path). Template-level reconcile uses the engine's
-    registered alias map when present and otherwise mints the deterministic
-    proxy concept `<hash(key,keytype)>` (template_support.py:476-480).
+    Resolution order per distinct key (mirrors the reference's per-run
+    reconciliation cache, template_state.ReconciliationRecord):
+      1. the engine's registered alias map (offline broadcast dictionary);
+      2. the OpenRefine reconciliation API when an endpoint is configured
+         (``$reconciliationAPI`` global, prop-def ``reconciliationAPI``, or
+         3rd template arg) — batched HTTP over the DISTINCT keys via
+         mapInPandas (rdf_mapper_spark.reconcile), never per row;
+      3. a deterministic proxy concept ``{base}/data/{name}/<hash(key,
+         keytype)>`` (template_support.py:476-480 _PROXY_CONCEPT_PROPS),
+         which also emits its own ``rdf:type {keytype}`` and
+         ``skos:prefLabel {key}`` triples plus one ``rec:possibleMatch``
+         blank node per candidate the API returned (reconcile.py:61-66
+         MatchEntry.record_as_rdf).  ``skip_placeholders`` suppresses the
+         proxy (the property then emits no triple for unmatched keys).
+
+    The resolved (key -> IRI) table is dictionary-sized by construction
+    (distinct reconcilable keys), so it folds into the plan as a literal map
+    below a threshold and as an Arrow-batched pandas lookup above it; the
+    web-scale row-volume path stays pipeline.linking's broadcast join.
     """
+    name = (str(args[0]) if args and args[0] not in (None, "None", "")
+            else str(cctx.constants.get("$resourceID")))
     keytype = None
     if len(args) > 1 and args[1] not in (None, "None", ""):
         keytype = expand_curie(str(args[1]), cctx.spec.namespaces)
-    alias_map: dict[str, str] = cctx.constants.get("__alias_map__", {})
-    key = ve.col.cast("string")
-    keytype_str = keytype or (SKOS + "Concept")
-    proxy_base = (
-        f"{cctx.constants.get('$datasetBase')}/data/"
-        f"{cctx.constants.get('$resourceID')}/"
+    endpoint = None
+    if len(args) > 2 and args[2] not in (None, "None", ""):
+        endpoint = str(args[2])
+    endpoint = endpoint or cctx.constants.get("$reconciliationAPI")
+    skip_placeholders = len(args) > 3 and str(args[3]).lower() in (
+        "true", "1", "skip"
     )
-    proxy = F.concat(F.lit(proxy_base),
-                     sha1_b32hex_col(F.concat(key, F.lit(keytype_str))))
-    if alias_map:
+    # filters live on the prop-def (spec.py PropertySpec), keyed by `name` —
+    # the template arg string cannot round-trip a pair list
+    filters: list[tuple[str, str]] = []
+    prop_def = cctx.spec.prop_defs.get(name)
+    if prop_def is not None and prop_def.reconciliation_filters:
+        ns = cctx.spec.namespaces
+        filters = [(expand_curie(str(p), ns), expand_curie(str(v), ns))
+                   for p, v in prop_def.reconciliation_filters]
+
+    alias_map: dict[str, str] = cctx.constants.get("__alias_map__", {})
+    keytype_str = keytype or (SKOS + "Concept")
+    proxy_base = f"{cctx.constants.get('$datasetBase')}/data/{name}/"
+
+    def proxy_of(c: Column) -> Column:
+        return F.concat(
+            F.lit(proxy_base),
+            sha1_b32hex_col(F.concat(c, F.lit(keytype_str))),
+        )
+
+    resolved_map: dict[str, str | None] = dict(alias_map)
+    have_full_cover = False
+    if endpoint:
+        from rdf_mapper_spark.pyfuncs import sha1_b32hex
+        from rdf_mapper_spark.reconcile import reconcile_keys
+
+        key_el = (F.explode(ve.col).cast("string") if ve.is_array
+                  else ve.col.cast("string"))
+        keys_df = (
+            cctx.df.select(key_el.alias("key"))
+            .where(F.col("key").isNotNull() & (F.col("key") != ""))
+            .distinct()
+        )
+        if alias_map:
+            keys_df = keys_df.where(~F.col("key").isin(list(alias_map)))
+        transport = cctx.constants.get("__reconcile_transport__")
+        results = reconcile_keys(keys_df, str(endpoint), keytype=keytype,
+                                 filters=filters, transport=transport).collect()
+        g = cctx.constants.get("$graph_const")
+        for row in results:
+            if row.match_id:
+                resolved_map[row.key] = row.match_id
+                continue
+            if skip_placeholders:
+                resolved_map[row.key] = None
+                continue
+            proxy_iri = proxy_base + sha1_b32hex(row.key + keytype_str)
+            resolved_map[row.key] = proxy_iri
+            cctx.side_quad_rows.append(
+                (g, "iri", proxy_iri, RDF_TYPE, "iri", keytype_str,
+                 None, None))
+            cctx.side_quad_rows.append(
+                (g, "iri", proxy_iri, SKOS + "prefLabel", "literal",
+                 row.key, None, None))
+            for j, pm in enumerate(row.possible or []):
+                bn = hashlib.md5(
+                    f"rec-{name}-{row.key}-{j}".encode()
+                ).hexdigest()
+                cctx.side_quad_rows.append(
+                    (g, "iri", proxy_iri, REC_POSSIBLE_MATCH, "bnode", bn,
+                     None, None))
+                cctx.side_quad_rows.append(
+                    (g, "bnode", bn, REC_MATCH, "iri", pm.id, None, None))
+                if pm.name is not None:
+                    cctx.side_quad_rows.append(
+                        (g, "bnode", bn, REC_LABEL, "literal", pm.name,
+                         None, None))
+                if pm.score is not None:
+                    cctx.side_quad_rows.append(
+                        (g, "bnode", bn, REC_SCORE, "literal",
+                         _decimal_lexical(pm.score), XSD + "decimal", None))
+        have_full_cover = True  # every distinct key now has a verdict
+
+    live = {k: v for k, v in resolved_map.items() if v is not None}
+    big_lookup = (_dict_lookup_udf(live)
+                  if len(live) > _RECONCILE_LITERAL_MAP_MAX else None)
+
+    def lookup_of(c: Column) -> Column:
+        if not live:
+            return F.lit(None).cast("string")
+        if big_lookup is not None:
+            # big dictionaries: Arrow-batched lookup — the dict ships once
+            # per executor in the UDF closure instead of exploding codegen
+            return big_lookup(c)
         pairs: list[Column] = []
-        for a, iri_v in alias_map.items():
+        for a, iri_v in live.items():
             pairs.extend([F.lit(a), F.lit(iri_v)])
-        lookup = F.create_map(*pairs)[key]
-        resolved = F.coalesce(lookup, proxy)
-    else:
-        resolved = proxy
+        return F.create_map(*pairs)[c]
+
     def link_term(c: Column) -> Column:  # single param: pyspark HOF bridge
-        return F.when(c.isNotNull(), iri_term(resolved))
+        c = c.cast("string")
+        if have_full_cover or skip_placeholders:
+            # every distinct key has a verdict (match / proxy / dropped)
+            resolved = lookup_of(c)
+        else:
+            # no API: alias map + deterministic proxy fallback
+            resolved = F.coalesce(lookup_of(c), proxy_of(c))
+        return F.when(c.isNotNull() & resolved.isNotNull(),
+                      iri_term(resolved))
 
     out = ve.map_elements(link_term)
     return replace(out, form="term")
+
+
+_RECONCILE_LITERAL_MAP_MAX = 1000
+
+
+def _decimal_lexical(x: float) -> str:
+    """xsd:decimal lexical form of a JSON score (rdflib Literal parity)."""
+    s = repr(float(x))
+    return s if "e" not in s and "E" not in s else f"{float(x):f}"
+
+
+def _dict_lookup_udf(mapping: dict[str, str]):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def look(s: pd.Series) -> pd.Series:
+        return s.map(mapping)
+
+    return look
 
 
 # ---------------------------------------------------------------------------

@@ -36,10 +36,14 @@ from rdf_mapper_spark.spec import DEFAULT_GRAPH, MappingSpec
 class MapperEngine:
     def __init__(self, spec: MappingSpec,
                  alias_map: dict[str, str] | None = None,
-                 dedup_salt: int = 0) -> None:
+                 dedup_salt: int = 0,
+                 reconcile_transport=None) -> None:
         self.spec = spec
         self.alias_map = alias_map or {}
         self.dedup_salt = dedup_salt
+        # injectable OpenRefine transport (rdf_mapper_spark.reconcile);
+        # None -> stdlib HTTP POST when a $reconciliationAPI is configured
+        self.reconcile_transport = reconcile_transport
         self.warnings: list[str] = []
         self.preserved_graphs: set[str] = set()
         # fold one-offs once on the driver
@@ -74,6 +78,8 @@ class MapperEngine:
         constants: dict[str, Any] = dict(self.spec.context)
         constants.setdefault("$graph", DEFAULT_GRAPH)
         constants["__alias_map__"] = self.alias_map
+        if self.reconcile_transport is not None:
+            constants["__reconcile_transport__"] = self.reconcile_transport
         cctx = CompileCtx(
             spec=self.spec,
             df=prepared,
@@ -97,6 +103,9 @@ class MapperEngine:
                 autocv_side_quads(use, self.spec,
                                   str(constants.get("$datasetBase")))
             )
+        if cctx.side_quad_rows:
+            # reconcile proxy concepts + possibleMatch annotations
+            plans.append(quads_from_rows(spark, list(cctx.side_quad_rows)))
         if self._oneoff_state.quads:
             rows = [q.as_row() for q in self._oneoff_state.quads]
             plans.append(quads_from_rows(spark, rows))

@@ -179,9 +179,13 @@ class PropertySpec:
         """
         if self.type and template.startswith("{") and template.endswith("}"):
             template = "{" + template[1:-1] + f" | as{self.type}}}"
-        elif self.reconciliation_type or self.reconciliation_filters:
-            args = [self.name, self.reconciliation_type, self.reconciliation_api,
-                    self.reconciliation_filters]
+        elif (self.reconciliation_type or self.reconciliation_filters
+              or self.reconciliation_api):
+            # filters are NOT serialized into the template (a pair list
+            # cannot round-trip the arg grammar — the reference has the same
+            # wart, mapper_spec.py:217-222 str(list)); the compiler looks
+            # them up on this prop-def via the name argument instead
+            args = [self.name, self.reconciliation_type, self.reconciliation_api]
             argstr = ",".join(_quote_arg(a) for a in args)
             template = "{" + template[1:-1] + f" | reconcile({argstr})}}"
         return (self.prop, template)

@@ -129,7 +129,9 @@ def test_reconcile_with_alias_map_and_proxy(spark):
     objs = _objs(quads_of_df(q), "/def/p")
     assert objs[0].startswith("http://kg.example.org/entity/acme") or \
         objs[1].startswith("http://kg.example.org/entity/acme")
-    proxies = [o for o in objs if "/data/T/" in o]
+    # the proxy is rooted at the reconcile NAME arg, not the enclosing
+    # resource (reference _create_resource with ResourceSpec(name=name))
+    proxies = [o for o in objs if "/data/orgname/" in o]
     assert len(proxies) == 1  # deterministic proxy for the unmatched key
 
 
