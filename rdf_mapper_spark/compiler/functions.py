@@ -275,9 +275,27 @@ def apply_function(name: str, raw_args: list[tuple[str, str]], ve: ValueExpr,
 
 
 def _to_entries(ve: ValueExpr) -> ValueExpr:
-    """dict -> [{$key,$value}] (function.py:176-179) over map or struct cols."""
+    """dict -> [{$key,$value}] (function.py:176-179) over map or struct cols.
+
+    JSON objects land in Spark as StructType (spark.read.json), so both
+    shapes must work: MapType via map_entries, StructType by unrolling the
+    fields at compile time (the schema is static — this is a constant-width
+    array literal, no shuffle).  Struct values are cast to string to give
+    the entry array a common element type; $-prefixed keys are engine
+    pseudo-fields and are dropped in both shapes.
+    """
     col = ve.col
-    # MapType: map_entries + filter out $-keys; StructType handled by caller
+    if ve.dtype is not None and ve.dtype.startswith("struct<"):
+        names = [n for n in _struct_field_names(ve.dtype)
+                 if not n.startswith("$")]
+        entries = F.array(*[
+            F.struct(
+                F.lit(n).alias("$key"),
+                col[n].cast("string").alias("$value"),
+            )
+            for n in names
+        ])
+        return ValueExpr(entries, is_array=True, form="native")
     entries = F.filter(
         F.map_entries(col),
         lambda e: ~F.startswith(e["key"], F.lit("$")),
@@ -289,13 +307,38 @@ def _to_entries(ve: ValueExpr) -> ValueExpr:
     return ValueExpr(renamed, is_array=True, form="native")
 
 
+def _struct_field_names(dtype: str) -> list[str]:
+    """Field names from a simple-dtype string ``struct<a:string,b:...>``
+    (top-level commas only — nested generics don't split)."""
+    body = dtype[len("struct<"):-1]
+    names: list[str] = []
+    depth = 0
+    token = ""
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(token.split(":", 1)[0].strip())
+            token = ""
+            continue
+        token += ch
+    if token.strip():
+        names.append(token.split(":", 1)[0].strip())
+    return names
+
+
 def _map_by(ve: ValueExpr, mapping_name: str, cctx) -> ValueExpr:
     """Tiny-dict lookup -> chained CASE over compile-time-expanded targets.
 
     Each mapped value is itself a template (URI / lang forms re-expanded,
     template_support.py:460-474); targets are constant-folded on the driver.
-    A missing key raises per-row in the reference -> property skipped; here
-    the CASE falls through to NULL which drops the triple.
+    A missing key raises per-row in the reference (ValueError propagates to
+    template_processor.log_error, so it increments error_count); here the
+    CASE falls through to NULL which drops the triple AND the miss is
+    registered as an error plan so MapperEngine.count_errors() /
+    --abort-on-error see it.
     """
     from rdf_mapper_spark import pyeval
 
@@ -320,6 +363,24 @@ def _map_by(ve: ValueExpr, mapping_name: str, cctx) -> ValueExpr:
         if out is None:
             return F.lit(None).cast("struct<k:string,v:string,dt:string,lg:string>")
         return out
+
+    keys = [k for k, _ in whens]
+    src = ve.col
+    if ve.is_array:
+        miss = F.exists(
+            src,
+            lambda c: c.isNotNull() & (
+                ~c.cast("string").isin(keys) if keys else F.lit(True)
+            ),
+        )
+    else:
+        miss = src.isNotNull() & (
+            ~src.cast("string").isin(keys) if keys else F.lit(True)
+        )
+    rid = cctx.constants.get("$resourceID", "?")
+    cctx.error_plans.append(
+        (f"{rid}.map_by({mapping_name}):no-mapping", cctx.df.where(miss))
+    )
 
     out = ve.map_elements(casefn)
     return replace(out, form="term")

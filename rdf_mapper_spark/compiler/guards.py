@@ -165,13 +165,29 @@ class _GuardTranslator:
     def _pin(self, cmp: Column) -> Column:
         return cmp if self.positive else F.coalesce(cmp, F.lit(False))
 
-    def _as_bool(self, node: ast.expr) -> Column:
+    def _truthy(self, node: ast.expr) -> Column:
+        """Python truthiness of an operand: non-empty for strings (a
+        boolean CAST of 'john' is NULL and of '0' is false — both diverge
+        from the reference's eval, which keeps any non-empty string)."""
         col = self._expr(node)
-        return self._pin(col.cast("boolean"))
+        if self._is_string(node):
+            return col.isNotNull() & (F.length(col) > 0)
+        return col.cast("boolean")
+
+    def _is_string(self, node: ast.expr) -> bool:
+        if isinstance(node, ast.Name) and self.cctx.has_var(node.id):
+            return (self.cctx.resolve(node.id).dtype or "") == "string"
+        if isinstance(node, ast.Constant):
+            return isinstance(node.value, str)
+        return (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id == "str")
+
+    def _as_bool(self, node: ast.expr) -> Column:
+        return self._pin(self._truthy(node))
 
     def _as_bool_pinned(self, node: ast.expr) -> Column:
-        col = self._expr(node)
-        return F.coalesce(col.cast("boolean"), F.lit(False))
+        return F.coalesce(self._truthy(node), F.lit(False))
 
     def _const_of(self, node: ast.expr) -> Any:
         if isinstance(node, ast.Constant):
@@ -193,7 +209,7 @@ def compile_guard(source: str, cctx) -> Column:
     try:
         # no top-level coalesce: Filter's null-drops-row IS the reference's
         # "guard false/raise -> skip", and bare predicates push down
-        col = _GuardTranslator(cctx).translate(tree.body)
+        col = _GuardTranslator(cctx)._truthy(tree.body)
         return col.cast("boolean")
     except _MissingName:
         return F.lit(False)

@@ -210,16 +210,37 @@ def _pattern_strings(template: str, cctx: CompileCtx) -> ValueExpr:
 # IRI minting (uri_expand, template_support.py:113-178)
 # ---------------------------------------------------------------------------
 def _absolutize(ve: ValueExpr, cctx: CompileCtx) -> ValueExpr:
-    """Resolve relative refs against {datasetBase}/data/{resourceID}/."""
+    """Resolve relative refs against {datasetBase}/data/{resourceID}/ with
+    urljoin semantics (reference _make_full_iri, template_support.py:176-178
+    and the repo's own pyeval oracle): path-absolute refs ('/x') resolve
+    against the base AUTHORITY, and leading dot segments ('../', './')
+    collapse against the constant base — both precomputed on the driver, so
+    the per-row expression stays a cheap when-chain of prefix tests."""
+    from urllib.parse import urljoin, urlsplit
+
     base = (
         f"{cctx.constants.get('$datasetBase')}/data/"
         f"{cctx.constants.get('$resourceID')}/"
     )
+    parts = urlsplit(base)
+    authority = (f"{parts.scheme}://{parts.netloc}"
+                 if parts.scheme and parts.netloc else None)
+    big = 1 << 30  # "rest of string" for substring
 
     def absol(c: Column) -> Column:
-        return F.when(
-            c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), c
-        ).otherwise(F.concat(F.lit(base), c))
+        w = F.when(c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), c)
+        if authority:
+            w = w.when(c.startswith("/"), F.concat(F.lit(authority), c))
+        for k in (3, 2, 1):  # up to 3 levels of ../ (base has 2 segments)
+            pre = "../" * k
+            w = w.when(
+                c.startswith(pre),
+                F.concat(F.lit(urljoin(base, pre)),
+                         F.substring(c, len(pre) + 1, big)),
+            )
+        w = w.when(c.startswith("./"),
+                   F.concat(F.lit(base), F.substring(c, 3, big)))
+        return w.otherwise(F.concat(F.lit(base), c))
 
     return ve.map_elements(absol)
 
@@ -341,8 +362,14 @@ def filters_condition(rs: ResourceSpec, cctx: CompileCtx) -> Optional[Column]:
     if rs.unless:
         for key, blocked in rs.unless.items():
             if not cctx.has_var(key):
-                # absent value: only `unless {k: non-null}` keeps the row
-                conds.append(F.lit(blocked is not None))
+                # absent column == no value (reference state.get -> None,
+                # template_support.py:249-259): unless-null is SATISFIED
+                # (keep), a scalar never equals None (keep); only a blocked
+                # LIST containing null can match the absent value
+                if isinstance(blocked, list):
+                    conds.append(F.lit(None not in blocked))
+                else:
+                    conds.append(F.lit(True))
                 continue
             raw = cctx.resolve(key)
             col = raw.col
@@ -351,7 +378,12 @@ def filters_condition(rs: ResourceSpec, cctx: CompileCtx) -> Optional[Column]:
             if blocked is None:
                 conds.append(col.isNull())
             elif isinstance(blocked, list):
-                conds.append(F.coalesce(~col.isin(blocked), F.lit(True)))
+                nn = [b for b in blocked if b is not None]
+                keep = (F.coalesce(~col.isin(nn), F.lit(True)) if nn
+                        else F.lit(True))
+                if None in blocked:  # `value in unless_value` matches null
+                    keep = col.isNotNull() & keep
+                conds.append(keep)
             else:
                 conds.append(F.coalesce(col != F.lit(blocked), F.lit(True)))
     if not conds:
@@ -694,14 +726,24 @@ def compile_resource(rs: ResourceSpec, cctx: CompileCtx,
     fctx.constants["__vocab__"] = scoped.constants["__vocab__"]
     fctx.constants["__vocab_seen__"] = scoped.constants["__vocab_seen__"]
 
-    # graph routing (R12): graph IRIs are row-independent in practice, so
-    # fold them on the driver (a row-var-dependent graph would need a graph
-    # column; the reference corpus has none, test_graphs.py:20-27)
-    graph: str | None = graph_const
+    # graph routing (R12): constant graph IRIs fold on the driver; a graph
+    # template referencing row variables (reference expands per row,
+    # template_support.py:284-287) compiles to a real `__g` column that the
+    # emission projections carry through
+    graph: str | Column | None = graph_const
     if rs.graph:
-        state = pyeval.EvalState(spec_of(fctx))
-        graph = pyeval.uri_expand(rs.graph, dict(fctx.constants), state)[0]
-        fctx.constants["$graph_const"] = graph
+        gvars = parse_template(rs.graph).referenced_vars()
+        if any(v in fctx.columns for v in gvars):
+            gv = compile_uri(rs.graph, fctx, declare=False)
+            gcol = (F.element_at(F.array_compact(gv.col), 1)
+                    if gv.is_array else gv.col)
+            fdf = fdf.withColumn("__g", gcol.cast("string"))
+            fctx = fctx.child(fdf, dict(fctx.columns), dict(fctx.constants))
+            graph = F.col("__g")
+        else:
+            state = pyeval.EvalState(spec_of(fctx))
+            graph = pyeval.uri_expand(rs.graph, dict(fctx.constants), state)[0]
+            fctx.constants["$graph_const"] = graph
 
     if rs.pattern is not None:
         # literal-resource templates only make sense embedded; top-level
@@ -802,11 +844,15 @@ def _compile_resource_body(rs: ResourceSpec, fctx: CompileCtx, fdf: DataFrame,
     return out
 
 
-def _emit_quads(fdf: DataFrame, graph: str | None, subj_kind: str,
+def _emit_quads(fdf: DataFrame, graph: str | Column | None, subj_kind: str,
                 subj_val: Column,
                 emissions: list[tuple[Column, ValueExpr, bool]]
                 ) -> list[DataFrame]:
+    graph_is_col = isinstance(graph, Column)
     proj: list[Column] = [subj_val.alias("__subj")]
+    if graph_is_col:
+        proj.append(graph.alias("__g"))
+        graph = F.col("__g")
     meta: list[tuple[str, str, bool, bool]] = []  # (tcol, pcol, inverse, is_array)
     for i, (pred, term_ve, inverse) in enumerate(emissions):
         proj.append(term_ve.col.alias(f"__t{i}"))
@@ -831,8 +877,9 @@ def _emit_quads(fdf: DataFrame, graph: str | None, subj_kind: str,
     for tcol, pcol, inverse, is_array in meta:
         if not is_array:
             continue
+        carry = ["__subj", pcol] + (["__g"] if graph_is_col else [])
         exploded = flat.select(
-            "__subj", pcol, F.explode(tcol).alias("__t")
+            *carry, F.explode(tcol).alias("__t")
         ).where(F.col("__t").isNotNull() & F.col("__t")["v"].isNotNull())
         quad = _quad_struct(graph, subj_kind, F.col("__subj"),
                             F.col(pcol), F.col("__t"), inverse)
@@ -843,7 +890,13 @@ def _emit_quads(fdf: DataFrame, graph: str | None, subj_kind: str,
     return out
 
 
-def _quad_struct(graph: str | None, subj_kind: str, subj_val: Column,
+def _graph_col(graph: str | Column | None) -> Column:
+    g = graph if isinstance(graph, Column) else F.lit(graph)
+    return g.cast("string")
+
+
+def _quad_struct(graph: str | Column | None, subj_kind: str,
+                 subj_val: Column,
                  pred: Column, term: Column, inverse: bool) -> Column:
     """Build one quad struct; NULL when the term is missing."""
     if inverse:
@@ -856,7 +909,7 @@ def _quad_struct(graph: str | None, subj_kind: str, subj_val: Column,
         o_k, o_v = term["k"], term["v"]
         odt, olg = term["dt"], term["lg"]
     quad = F.struct(
-        F.lit(graph).cast("string").alias("g"),
+        _graph_col(graph).alias("g"),
         s_k.cast("string").alias("sk"),
         s_v.cast("string").alias("s"),
         pred.cast("string").alias("p"),
@@ -1098,15 +1151,18 @@ def _compile_fanout(
     return out
 
 
-def _emit_links(cdf: DataFrame, graph: str | None, inverse: bool,
+def _emit_links(cdf: DataFrame, graph: str | Column | None, inverse: bool,
                 value: ValueExpr) -> DataFrame:
     """Parent link triples from the exploded frame (parent cols carried).
 
     Array values explode BEFORE the quad struct is built — plain explode +
     WHERE stays in whole-stage codegen (HOF transform/filter would not)."""
+    carry = ["__psk", "__ps", "__pp"] + (
+        ["__g"] if isinstance(graph, Column) else []
+    )
     if value.is_array:
         exploded = cdf.select(
-            "__psk", "__ps", "__pp", F.explode(value.col).alias("__t")
+            *carry, F.explode(value.col).alias("__t")
         ).where(F.col("__t").isNotNull() & F.col("__t")["v"].isNotNull())
         quad = _carried_quad(graph, F.col("__t"), inverse)
         return exploded.select(quad.alias("q")).where(
@@ -1118,7 +1174,8 @@ def _emit_links(cdf: DataFrame, graph: str | None, inverse: bool,
     ).select("q.*")
 
 
-def _carried_quad(graph: str | None, term: Column, inverse: bool) -> Column:
+def _carried_quad(graph: str | Column | None, term: Column,
+                  inverse: bool) -> Column:
     subj_kind = F.col("__psk")
     subj_val = F.col("__ps")
     pred = F.col("__pp")
@@ -1132,7 +1189,7 @@ def _carried_quad(graph: str | None, term: Column, inverse: bool) -> Column:
         o_k, o_v = term["k"], term["v"]
         odt, olg = term["dt"], term["lg"]
     quad = F.struct(
-        F.lit(graph).cast("string").alias("g"),
+        _graph_col(graph).alias("g"),
         s_k.cast("string").alias("sk"),
         s_v.cast("string").alias("s"),
         pred.cast("string").alias("p"),

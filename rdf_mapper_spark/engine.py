@@ -95,9 +95,18 @@ class MapperEngine:
         for rs in self.spec.resources:
             plans.extend(compile_resource(rs, cctx))
             if rs.graph and rs.preserved_graph:
-                state = pyeval.EvalState(self.spec)
-                g = pyeval.uri_expand(rs.graph, dict(constants), state)[0]
-                self.preserved_graphs.add(g)
+                try:
+                    state = pyeval.EvalState(self.spec)
+                    g = pyeval.uri_expand(rs.graph, dict(constants), state)[0]
+                    self.preserved_graphs.add(g)
+                except Exception:
+                    # row-templated @graphAdd: graph IRIs are per-row columns
+                    # — callers needing the preserved set must derive it from
+                    # the output's distinct g values
+                    self.warnings.append(
+                        f"{rs.name}: row-templated @graphAdd cannot be folded"
+                        " into preserved_graphs on the driver"
+                    )
         for use in cctx.autocv_uses:
             plans.append(
                 autocv_side_quads(use, self.spec,
@@ -118,8 +127,13 @@ class MapperEngine:
 
     def count_errors(self) -> dict[str, int]:
         """Row-error accounting (reference K6, template_processor.py:35-37):
-        per-label counts of rows violating required-property constraints
-        from the most recent apply()."""
+        per-label counts of rows whose processing would raise in the
+        reference — required-property violations (template_support.py:
+        394-395) and map_by mapping misses (ValueError propagates to
+        log_error, template_processor.py:52-55) — from the most recent
+        apply().  Guard eval failures deliberately do NOT count: the
+        reference catches them inside process_resource_spec and only logs
+        (template_support.py:219-222), so they never reach error_count."""
         return {label: df.count() for label, df in
                 getattr(self, "error_plans", [])}
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, max_iter: int = 15,
                          checkpoint: bool = True,
-                         driver_threshold: int = 2_000_000) -> DataFrame:
+                         driver_threshold: int = 100_000) -> DataFrame:
     """edges(src,dst) -> (node, component=min reachable node string).
 
     Hybrid execution: an edge set under ``driver_threshold`` is collected
@@ -30,6 +30,11 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
     dictionary, not the corpus). Larger graphs run the distributed loop:
     min-label propagation + one pointer-jumping join per round, O(log d)
     rounds, per-round checkpointing to cut lineage.
+
+    The default threshold is deliberately conservative (100k edge rows ≈
+    a few MB on the driver): callers passing corpus-derived edge sets fall
+    straight onto the distributed path instead of OOM-ing the driver; raise
+    it explicitly when the evidence is known to be dictionary-sized.
     """
     spark = edges.sparkSession
     if driver_threshold > 0:
@@ -101,7 +106,7 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, ["node", "comp"])
+    return spark.createDataFrame(rows, "node string, comp string")
 
 
 def sameas_edges_from_aliases(aliases: DataFrame) -> DataFrame:

@@ -180,3 +180,172 @@ def test_update_delete_scripts(spark):
     assert "DROP SILENT GRAPH <http://example.com/base> ;" in de
     assert "DELETE DATA {" in de
     assert "GRAPH <http://example.com/current> {" in de
+
+
+def test_to_entries_over_struct(spark):
+    # JSON objects arrive as StructType (spark.read.json shape) —
+    # reference to_entries works on any row dict (function.py:176-179)
+    df = spark.createDataFrame(
+        [("1", ("red", 42))],
+        "id string, attrs struct<color:string, size:bigint>",
+    ).withColumn("$row", F.lit(1).cast("bigint"))
+    spec = MappingSpec({
+        "resources": [{
+            "name": "item",
+            "properties": {
+                "@id": "<http://example.com/{id}>",
+                "attr": "{attrs | to_entries | map_to('kv')}",
+            },
+        }],
+        "embedded": [{
+            "name": "kv",
+            "pattern": "{$key}={$value}",
+        }],
+    }, auto_declare=False)
+    engine = MapperEngine(spec)
+    q = engine.apply(df, file_name="file")
+    assert _objs(quads_of_df(q), "/def/attr") == ["color=red", "size=42"]
+
+
+def test_row_templated_graph(spark):
+    # reference expands @graph per row with full context
+    # (template_support.py:284-287): rows route to different named graphs
+    rows = [{"id": "1", "region": "eu"}, {"id": "2", "region": "us"},
+            {"id": "3", "region": "eu"}]
+    _, q = _apply(spark, {
+        "resources": [{
+            "name": "T",
+            "@graph": "<http://g.example.org/{region}>",
+            "properties": {
+                "@id": "<http://example.com/{id}>",
+                "p": "{id}",
+            },
+        }],
+    }, rows)
+    got = {(x.g, x.s.value) for x in quads_of_df(q)}
+    assert got == {
+        ("http://g.example.org/eu", "http://example.com/1"),
+        ("http://g.example.org/us", "http://example.com/2"),
+        ("http://g.example.org/eu", "http://example.com/3"),
+    }
+
+
+def test_row_templated_graph_with_multivalue(spark):
+    # array property under a row-templated graph: the __g column must be
+    # carried through the array-explode emission path
+    rows = [{"id": "1", "region": "eu", "tags": "a b"}]
+    _, q = _apply(spark, {
+        "resources": [{
+            "name": "T",
+            "@graph": "<http://g.example.org/{region}>",
+            "properties": {
+                "@id": "<http://example.com/{id}>",
+                "tag": "{tags | split(' ')}",
+            },
+        }],
+    }, rows)
+    got = {(x.g, x.o.value) for x in quads_of_df(q)
+           if x.p.endswith("/def/tag")}
+    assert got == {("http://g.example.org/eu", "a"),
+                   ("http://g.example.org/eu", "b")}
+
+
+def test_unless_null_with_absent_column(spark):
+    # absent column counts as 'no value', which SATISFIES unless-null
+    # (reference template_support.py:249-259 via state.get -> None)
+    rows = [{"id": "1"}, {"id": "2"}]
+    _, q = _apply(spark, {
+        "resources": [{
+            "name": "T",
+            "unless": {"ghost": None},
+            "properties": {"@id": "<http://example.com/{id}>", "p": "{id}"},
+        }],
+    }, rows)
+    assert _objs(quads_of_df(q), "/def/p") == ["1", "2"]
+    # scalar blocked value, absent column: never equal -> keep
+    _, q2 = _apply(spark, {
+        "resources": [{
+            "name": "T",
+            "unless": {"ghost": "x"},
+            "properties": {"@id": "<http://example.com/{id}>", "p": "{id}"},
+        }],
+    }, rows)
+    assert _objs(quads_of_df(q2), "/def/p") == ["1", "2"]
+
+
+def test_guard_string_truthiness(spark):
+    # bare string guard: python truthiness (non-empty), NOT boolean cast —
+    # 'john' must keep the row, '' and null must drop it, and '0' is truthy
+    rows = [{"id": "1", "name": "john"}, {"id": "2", "name": ""},
+            {"id": "3", "name": None}, {"id": "4", "name": "0"}]
+    _, q = _apply(spark, {
+        "resources": [{
+            "name": "T",
+            "guard": "name",
+            "properties": {"@id": "<http://example.com/{id}>", "p": "{id}"},
+        }],
+    }, rows)
+    assert _objs(quads_of_df(q), "/def/p") == ["1", "4"]
+    # inside a boolean op too
+    rows2 = [{"id": "1", "name": "john", "n": 3},
+             {"id": "2", "name": "ann", "n": 1}]
+    _, q2 = _apply(spark, {
+        "resources": [{
+            "name": "T",
+            "guard": "name and n > 2",
+            "properties": {"@id": "<http://example.com/{id}>", "p": "{id}"},
+        }],
+    }, rows2)
+    assert _objs(quads_of_df(q2), "/def/p") == ["1"]
+
+
+def test_relative_iri_urljoin_semantics(spark):
+    # path-absolute and dot-segment refs resolve like urljoin (reference
+    # _make_full_iri; the pyeval oracle does the same)
+    from urllib.parse import urljoin
+
+    rows = [{"id": "1", "ref_abs": "/abs/path", "ref_up": "../up/x",
+             "ref_dot": "./here"}]
+    _, q = _apply(spark, {
+        "globals": {"$datasetBase": "http://host.example/ds"},
+        "resources": [{
+            "name": "T",
+            "properties": {
+                "@id": "<http://example.com/{id}>",
+                "a": "<{ref_abs}>",
+                "u": "<{ref_up}>",
+                "d": "<{ref_dot}>",
+            },
+        }],
+    }, rows)
+    base = "http://host.example/ds/data/T/"
+    quads = quads_of_df(q)
+    objs = {qq.p.rsplit("/", 1)[-1]: qq.o.value for qq in quads}
+    assert objs["a"] == urljoin(base, "/abs/path") == \
+        "http://host.example/abs/path"
+    assert objs["u"] == urljoin(base, "../up/x") == \
+        "http://host.example/ds/data/up/x"
+    assert objs["d"] == urljoin(base, "./here") == base + "here"
+
+
+def test_map_by_miss_counts_as_error(spark):
+    # reference: map_by raises per row on a missing mapping; the exception
+    # reaches template_processor.log_error and increments error_count
+    rows = [{"id": "1", "k": "a"}, {"id": "2", "k": "zzz"}]
+    eng, q = _apply(spark, {
+        "mappings": {"m": {"a": "<http://example.com/A>"}},
+        "resources": [{
+            "name": "T",
+            "properties": {
+                "@id": "<http://example.com/{id}>",
+                "p": "{k | map_by('m')}",
+            },
+        }],
+    }, rows)
+    assert _objs(quads_of_df(q), "/def/p") == ["http://example.com/A"]
+    errs = eng.count_errors()
+    assert errs.get("T.map_by(m):no-mapping") == 1, errs
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        eng.check_abort_on_error()

@@ -105,3 +105,40 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     # lineage metrics recorded per partition
     assert all("per_partition" in v or v.get("resumed")
                for v in m1["stages"].values())
+
+
+def test_connected_components_hybrid_threshold_switches(spark):
+    """Above driver_threshold the distributed loop must engage and agree
+    with the driver union-find on the same graph."""
+    from pyspark.sql import functions as F
+
+    # 3 chains of 40 nodes each -> 117 edges
+    rows = []
+    for c in range(3):
+        for i in range(39):
+            rows.append((f"c{c}-n{i:02d}", f"c{c}-n{i+1:02d}"))
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    driver = {(r.node, r.comp) for r in connected_components(
+        edges, driver_threshold=1_000_000).collect()}
+    distributed = {(r.node, r.comp) for r in connected_components(
+        edges, driver_threshold=10).collect()}   # 117 > 10 -> distributed
+    assert driver == distributed
+    comps = {c for _, c in distributed}
+    assert comps == {"c0-n00", "c1-n00", "c2-n00"}
+
+
+def test_resume_invalidated_by_changed_inputs(spark, tmp_path):
+    """A changed alias table (same column count!) must force recompute —
+    the fingerprint covers input content, not just shape."""
+    pages = make_pages(spark, 100, n_entities=20)
+    aliases = make_alias_dict(spark, 20)
+    workdir = str(tmp_path / "ckpt2")
+    m1 = run_pipeline(spark, pages, aliases, workdir=workdir,
+                      materialize=False)
+    assert not any(v.get("resumed") for v in m1["stages"].values())
+    # drop half the dictionary: stages must NOT resume from stale parquet
+    smaller = aliases.limit(aliases.count() // 2)
+    m2 = run_pipeline(spark, pages, smaller, workdir=workdir,
+                      materialize=False)
+    assert not any(v.get("resumed") for v in m2["stages"].values()), \
+        m2["stages"]
