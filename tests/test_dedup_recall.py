@@ -120,3 +120,23 @@ def test_embedding_lsh_subset_of_exact(spark):
     # planted clones point the same way -> hyperplane buckets agree:
     # recall on the planted cluster should be total here
     assert set(lsh) == set(exact)
+
+
+def test_simhash_numpy_matches_expression_formulation(spark):
+    # the Arrow/numpy vote fold and the pure-Column formulation must be
+    # bit-identical (same xxhash64 token hashes in both)
+    from pyspark.sql import functions as F
+
+    from rdf_mapper_spark.ops.dedup import _simhash64_expr
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "alpha beta gamma delta", "", "one", "x y z w v u t s r q",
+            "the quick brown fox jumps over the lazy dog",
+        ])], ["doc_id", "text"],
+    )
+    diff = docs.select(
+        (simhash64(F.col("text")) == _simhash64_expr(F.col("text")))
+        .alias("eq")
+    ).where(~F.col("eq")).count()
+    assert diff == 0
