@@ -767,15 +767,16 @@ SELECT qid, rank, neighbor FROM scored WHERE rank <= 10
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (seeded hyperplanes) — approximate by design, so no
-    SQL oracle; rows-only check documents the scale path."""
+    """Multi-probe LSH ANN (seeded hyperplanes; each query probes its
+    bucket + all 1-bit-flip buckets) — approximate by design, so no SQL
+    oracle; rows-only check documents the scale path."""
     from rdf_mapper_spark.ops.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(emb, queries, k=10)
+    return lsh_topk(emb, queries, k=10, dim=_EMB_DIM)
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:

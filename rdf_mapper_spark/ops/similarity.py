@@ -81,12 +81,23 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 6, dim: int | None = None, seed: int = 42,
+             multiprobe: bool = True,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket.
+    """Approximate top-k: score only candidates in the query's LSH bucket(s).
+
+    Multi-probe (default): each query also probes every bucket at Hamming
+    distance 1 in sign-pattern space (one flipped hyperplane) — near
+    neighbors that landed just across one hyperplane are recovered, turning
+    single-probe's luck-of-the-bucket recall into (n_planes+1)/2^n_planes
+    coverage of the bucket space per query.  The probe fan-out multiplies
+    only the (small, broadcast) QUERY side; the big table is still scanned
+    once and hash-joined.
 
     At 100 TB this turns a full-table scan per query batch into a
     partition-pruned bucket scan (bucket is a stored/partition column in
-    the production layout)."""
+    the production layout).  Pass ``dim`` when known — inferring it costs a
+    driver `first()` action on the big table.
+    """
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
@@ -94,9 +105,19 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
-    q_b = queries.select(
-        "qid", "qvec", lsh_bucket_expr(F.col("qvec"), planes).alias("bucket")
+    qbase = queries.select(
+        "qid", "qvec", lsh_bucket_expr(F.col("qvec"), planes).alias("b0")
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("b0"),
+            *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q_b = qbase.select(
+            "qid", "qvec", F.explode(probes).alias("bucket")
+        )
+    else:
+        q_b = qbase.withColumnRenamed("b0", "bucket")
     cand = emb_b.join(F.broadcast(q_b), "bucket").where(
         F.col("neighbor") != F.col("qid")
     )

@@ -73,6 +73,16 @@ def link_entities(pages: DataFrame, aliases: DataFrame,
     detection as a prefix filter — candidate volume then tracks dictionary
     hits instead of corpus tokens (measured ~15x fewer exploded rows on the
     synthetic corpus). Set the limit to 0 to disable.
+
+    Why ``isin`` and not a "cleaner" broadcast semi-join: with more than 10
+    values Catalyst's OptimizeIn rewrites In to InSet — a JVM hash set
+    shipped once inside the task binary and probed O(1) per token, i.e.
+    broadcast-hash-join semantics WITHOUT leaving the per-row array
+    pipeline (verified: executedPlan shows INSET).  A DataFrame semi-join
+    here would force exploding every corpus token first; an array/map
+    literal column would linear-scan per probe.  The limit bounds plan
+    size, not probe cost — oversized dictionaries fall back to the plain
+    n-gram join.
     """
     first_tokens = None
     if prefix_filter_limit:
@@ -83,7 +93,8 @@ def link_entities(pages: DataFrame, aliases: DataFrame,
             ).distinct().limit(prefix_filter_limit + 1).collect()
         )
         if len(ft) <= prefix_filter_limit:
-            first_tokens = [r["t"] for r in ft]
+            # sorted -> byte-identical plans across runs (resume/caching)
+            first_tokens = sorted(r["t"] for r in ft)
     mentions = detect_mentions(pages, text_col=text_col, max_ngram=max_ngram,
                                first_tokens=first_tokens)
     return mentions.join(
