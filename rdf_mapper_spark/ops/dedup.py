@@ -60,19 +60,37 @@ def shingles_col(text: Column, n: int) -> Column:
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 1,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  stop_df_frac: float | None = None) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
     Inverted-index join: explode shingles -> self-join per shingle ->
     count shared shingles per pair -> Jaccard from |A|,|B|,|A∩B|.
-    Shuffle key is the shingle, so common shingles are the skew risk —
-    at scale, drop top-frequency shingles first (stop-shingle filter) or
-    use minhash_lsh_pairs below; this exact variant is the verifier.
+    Shuffle key is the shingle, so common shingles are the skew risk.
+
+    ``stop_df_frac`` is the skew kill-switch for scale: shingles whose
+    document frequency exceeds ``stop_df_frac * n_docs`` are dropped from
+    the inverted index BEFORE the self-join (a stop-shingle contributes
+    O(df^2) candidate pairs — one shingle in 1% of 10^9 docs is 10^14
+    pairs).  The exact Jaccard of surviving pairs is then computed against
+    the FULL shingle sets via an array intersection on the pair, so the
+    filter only loses pairs whose entire overlap is stop-shingles — by
+    construction pairs of near-duplicate documents share rare shingles
+    too.  None (default) keeps the exact verifier semantics.
     """
     base = docs.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     ).withColumn("sz", F.size("sh"))
     ex = base.select("id", "sz", F.explode("sh").alias("s"))
+    if stop_df_frac is not None:
+        n_docs = docs.count()
+        cap = max(2, int(stop_df_frac * n_docs))
+        live = (
+            ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= cap)
+            .select("s")
+        )
+        ex = ex.join(live, "s")  # shuffle on shingle, bounded per key
     a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "s")
     b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "s")
     inter = (
@@ -81,6 +99,19 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 1,
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if stop_df_frac is not None:
+        # candidate pairs only; recompute the TRUE intersection including
+        # stop-shingles so the reported Jaccard is exact
+        cand = inter.select("id_a", "id_b").distinct()
+        sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                         F.col("sz").alias("sz_a"))
+        sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                         F.col("sz").alias("sz_b"))
+        inter = (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .select("id_a", "id_b", "sz_a", "sz_b", "inter")
+        )
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     ).cast("double")
@@ -183,7 +214,10 @@ def simhash64(text: Column) -> Column:
     unpack.  Both produce bit-identical hashes (test_dedup_recall)."""
     toks = tokens_col(text)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return _simhash_votes_udf(hashes)
+    # coalesce marks the result non-nullable: otherwise join-key null-filter
+    # inference inserts an isnotnull(udf) Filter that EVALUATES THE UDF A
+    # SECOND TIME per row (verified in the physical plan)
+    return F.coalesce(_simhash_votes_udf(hashes), F.lit(0).cast("long"))
 
 
 def _simhash_votes_udf(hashes: Column) -> Column:
@@ -264,8 +298,12 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     # (a union of per-band branches would recompute the hash n_bands times —
     # measured as the dominant cost), and the self-join keeps both sides'
     # plans identical so the shuffle exchange is built once and reused.
+    # persist the (id, h) projection: AQE does not reuse shuffle stages
+    # whose subtrees contain Python UDFs (verified), so without the cache
+    # the self-join would run the hash UDF once per side. 16 bytes/row —
+    # ~16 GB cluster-wide at 10^9 docs, MEMORY_AND_DISK by default.
     sh = docs.select(F.col(id_col).alias("id"),
-                     simhash64(F.col(text_col)).alias("h"))
+                     simhash64(F.col(text_col)).alias("h")).persist()
     band_keys = []
     for b in range(n_bands):
         start = 64 * b // n_bands

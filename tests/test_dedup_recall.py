@@ -140,3 +140,25 @@ def test_simhash_numpy_matches_expression_formulation(spark):
         .alias("eq")
     ).where(~F.col("eq")).count()
     assert diff == 0
+
+
+def test_jaccard_stop_shingle_filter_keeps_true_pairs(spark):
+    # pairs overlapping on rare shingles survive the stop-shingle filter
+    # with their EXACT jaccard; 'common'-only overlaps are pruned
+    docs = spark.createDataFrame([
+        (1, "common rareA rareB rareC x1"),
+        (2, "common rareA rareB rareC x2"),   # near-dup of 1
+        (3, "common other words entirely y1"),
+        (4, "common more unrelated tokens z1"),
+    ], ["doc_id", "text"])
+    from rdf_mapper_spark.ops.dedup import jaccard_pairs
+
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in jaccard_pairs(docs, threshold=0.5, n=1).collect()}
+    # 'common' appears in all 4 docs -> df 4 > cap(0.6*4)=2 -> stop shingle
+    filtered = {(r.id_a, r.id_b): r.jaccard
+                for r in jaccard_pairs(docs, threshold=0.5, n=1,
+                                       stop_df_frac=0.6).collect()}
+    assert (1, 2) in filtered
+    assert filtered[(1, 2)] == exact[(1, 2)]  # TRUE jaccard incl. stop
+    assert set(filtered) == set(exact)

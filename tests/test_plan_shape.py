@@ -72,3 +72,34 @@ def test_no_interpreted_hofs_on_scalar_emission(spark, tmp_path):
     assert "filter(" not in plan.replace("PushedFilters", "")
     # formatted mode marks codegen'd operators with "[codegen id : N]"
     assert "codegen id" in plan
+
+
+def test_simhash_hash_udf_computed_once(spark):
+    """The banded self-join must not recompute the hash UDF per side: AQE
+    does not reuse shuffle stages containing Python UDFs, so the (id, h)
+    projection is persisted — both sides must scan the cache."""
+    from rdf_mapper_spark.ops.dedup import simhash_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_near_dups(docs, max_hamming=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_embedding_near_dups_is_not_cartesian(spark):
+    """The bucketed near-dup plan must join on the bucket key — a
+    CartesianProduct/BroadcastNestedLoop node means the LSH bucketing fell
+    out of the plan."""
+    from rdf_mapper_spark.ops.dedup import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    pairs = embedding_near_dups(emb, threshold=0.9, n_planes=3, dim=4)
+    plan = _formatted_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
