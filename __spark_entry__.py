@@ -683,6 +683,83 @@ sigs AS (SELECT id, [{sig_elems}] sig FROM sh_t)
 """
 
 
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-candidate generation + exact Jaccard verification — the full
+    near-dup composition (candidates from any shared band bucket, verified
+    at threshold 0.5). md5-based construction keeps DuckDB bit-parity."""
+    from rdf_mapper_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS, n=1, verify_threshold=0.5,
+    )
+
+
+def _oracle_dedup_minhash_pairs() -> str:
+    # n=1 shingles (token sets) for the signature AND the verifier
+    shingle = "list_distinct(toks)"
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(_MINHASH_HASHES)
+    )
+    rows_per_band = _MINHASH_HASHES // _MINHASH_BANDS
+    band_rows = "\nUNION ALL ".join(
+        f"SELECT id, {b} band, "
+        f"md5(array_to_string(sig[{b*rows_per_band+1}:"
+        f"{(b+1)*rows_per_band}], '|')) bucket FROM sigs"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id id, string_split(text,' ') toks FROM documents),
+sh_t AS (SELECT id, {shingle} sh FROM t),
+sigs AS (SELECT id, [{sig_elems}] sig FROM sh_t),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.id id_a, b.id id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.id < b.id),
+sz AS (SELECT id, len(sh) sz, sh FROM sh_t),
+ver AS (SELECT c.id_a, c.id_b,
+               ROUND(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                     (x.sz + y.sz - len(list_intersect(x.sh, y.sh))), 4) j
+        FROM cand c JOIN sz x ON c.id_a = x.id JOIN sz y ON c.id_b = y.id)
+SELECT id_a, id_b, j AS jaccard FROM ver WHERE j >= 0.5
+"""
+
+
+ROW_GRAPHS_SPEC = {
+    "globals": {"$datasetBase": KGB},
+    "resources": [{
+        "name": "document",
+        "@graph": "<" + KGB + "/graph/{lang}>",
+        "properties": {
+            "@id": "<" + KGB + "/data/document/{doc_id}>",
+            "<{$datasetBase}/def/source>": "{source}",
+        },
+    }],
+}
+
+
+def q_kg_row_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-templated @graph (R12 full form): the graph IRI is computed per
+    row from a data column — reference template_support.py:284-287."""
+    from rdf_mapper_spark.engine import MapperEngine
+    from rdf_mapper_spark.spec import MappingSpec
+
+    docs = _t(spark, sf_dir, "documents")
+    engine = MapperEngine(MappingSpec(ROW_GRAPHS_SPEC, auto_declare=False))
+    return engine.apply(docs, file_name="documents")
+
+
+def _oracle_kg_row_graphs() -> str:
+    s = _doc_subject_sql()
+    null = "CAST(NULL AS VARCHAR)"
+    return f"""
+SELECT '{KGB}/graph/' || lang AS g, 'iri' sk, {s} s,
+       '{KGB}/def/source' p, 'literal' ok, source o, {null} odt, {null} olg
+FROM documents
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (xxhash64 bit votes — not expressible in DuckDB:
     rows-only check)."""
@@ -915,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_buckets": q_dedup_minhash_buckets,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "kg_row_graphs": q_kg_row_graphs,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
@@ -946,6 +1025,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_jaccard": _oracle_dedup_jaccard(),
         "dedup_minhash_buckets": _oracle_dedup_minhash_buckets(),
+        "dedup_minhash_pairs": _oracle_dedup_minhash_pairs(),
+        "kg_row_graphs": _oracle_kg_row_graphs(),
         # dedup_simhash: rows-only (xxhash64 not in DuckDB)
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "ann_topk": _oracle_ann_topk(),
