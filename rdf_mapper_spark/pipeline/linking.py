@@ -61,28 +61,25 @@ def detect_mentions(pages: DataFrame, text_col: str = "text",
 
 def link_entities(pages: DataFrame, aliases: DataFrame,
                   text_col: str = "text", max_ngram: int = 2,
-                  prefix_filter_limit: int = 200_000) -> DataFrame:
+                  prefix_filter_limit: int = 0) -> DataFrame:
     """-> (url, mention, entity_iri, entity_type) via broadcast hash join.
 
     The alias dictionary is the small dimension (north rule: broadcast it);
     hot aliases (popular entities) skew the join output, which downstream
     dedup handles with salting + AQE.
 
-    When the dictionary's distinct FIRST tokens fit under
-    ``prefix_filter_limit`` they are collected once and pushed into mention
-    detection as a prefix filter — candidate volume then tracks dictionary
-    hits instead of corpus tokens (measured ~15x fewer exploded rows on the
-    synthetic corpus). Set the limit to 0 to disable.
-
-    Why ``isin`` and not a "cleaner" broadcast semi-join: with more than 10
-    values Catalyst's OptimizeIn rewrites In to InSet — a JVM hash set
-    shipped once inside the task binary and probed O(1) per token, i.e.
-    broadcast-hash-join semantics WITHOUT leaving the per-row array
-    pipeline (verified: executedPlan shows INSET).  A DataFrame semi-join
-    here would force exploding every corpus token first; an array/map
-    literal column would linear-scan per probe.  The limit bounds plan
-    size, not probe cost — oversized dictionaries fall back to the plain
-    n-gram join.
+    The n-gram explode feeds the broadcast-hash-join probe inside the SAME
+    whole-stage-codegen stage: misses are discarded immediately and nothing
+    reaches a shuffle, so candidate volume is a CPU cost only — and the
+    hash probe is the cheapest membership test available.  A head-token
+    prefix pre-filter (``prefix_filter_limit`` > 0: distinct dictionary
+    first tokens pushed into the explode as an ``isin``) cuts exploded rows
+    ~7x but was MEASURED SLOWER end-to-end (4.7-5.8s vs 1-3s on the 100k
+    synthetic corpus, identical output): inside a higher-order-function
+    lambda the In never gets the OptimizeIn InSet rewrite, so every token
+    linear-scans the literal list.  Default is therefore OFF; enable it
+    only in a non-broadcast (shuffle-join) regime where exploded rows hit
+    the wire and their volume, not CPU, is the constraint.
     """
     first_tokens = None
     if prefix_filter_limit:

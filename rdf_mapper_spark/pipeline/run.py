@@ -27,49 +27,104 @@ from rdf_mapper_spark.pipeline.canonicalize import (
 )
 from rdf_mapper_spark.pipeline.checkpoint import StageRunner
 from rdf_mapper_spark.pipeline.extract import with_extracted_text
-from rdf_mapper_spark.pipeline.linking import linked_pages
+from rdf_mapper_spark.pipeline.linking import link_entities
 from rdf_mapper_spark.quads import dedup_quads
 from rdf_mapper_spark.sinks import write_graph_tables
 from rdf_mapper_spark.spec import MappingSpec
 
-#: The KG mapping applied to linked pages. Deterministic, content-keyed
-#: subjects (urls / entity IRIs) — no row ordinals anywhere, per
-#: SURVEY.md §7.4(2).
-PIPELINE_SPEC = {
+#: The KG mapping, split by the NATURAL KEY of each triple group so nothing
+#: is emitted (and shuffled into dedup) more often than its key occurs:
+#:   * page triples    — one row per url        (NOT per url x mention);
+#:   * mention triples — one row per url x mention link;
+#:   * entity triples  — one row per DISTINCT (iri, type, label), a
+#:     dictionary-sized frame, instead of once per occurrence in the corpus.
+#: Emitting everything from the joined url x mention table (the naive
+#: single-spec shape) produced ~8 quads per link row of which ~7 were
+#: duplicates for the final dedup to discard — measured ~4x more shuffle
+#: volume. Deterministic, content-keyed subjects throughout (SURVEY §7.4).
+PAGE_SPEC = {
     "globals": {"$datasetBase": "http://kg.example.org"},
-    "resources": [
-        {
-            "name": "page",
-            "properties": {
-                "@id": "<{url}>",
-                "@type": "<{$datasetBase}/def/WebPage>",
-                "<dct:language>": "{lang}",
-                "<dct:date>": "{warc_ts}",
-                "<{$datasetBase}/def/mentions>": "<{entity_iri}>",
-            },
+    "resources": [{
+        "name": "page",
+        "properties": {
+            "@id": "<{url}>",
+            "@type": "<{$datasetBase}/def/WebPage>",
+            "<dct:language>": "{lang}",
+            "<dct:date>": "{warc_ts}",
         },
-        {
-            "name": "entity",
-            "properties": {
-                "@id": "<{entity_iri}>",
-                "@type": "<{entity_type}>",
-                "<skos:prefLabel>": "{mention}",
-            },
-        },
-    ],
+    }],
 }
 
+LINK_SPEC = {
+    "globals": {"$datasetBase": "http://kg.example.org"},
+    "resources": [{
+        "name": "page",
+        "properties": {
+            "@id": "<{url}>",
+            "<{$datasetBase}/def/mentions>": "<{entity_iri}>",
+        },
+    }],
+}
 
-def build_quads(linked: DataFrame, cache_input: bool = True) -> DataFrame:
-    """Candidate quads from linked pages (no dedup — staged separately).
+ENTITY_SPEC = {
+    "globals": {"$datasetBase": "http://kg.example.org"},
+    "resources": [{
+        "name": "entity",
+        "properties": {
+            "@id": "<{entity_iri}>",
+            "@type": "<{entity_type}>",
+            "<skos:prefLabel>": "{mention}",
+        },
+    }],
+}
 
-    The linked-pages input carries the extraction UDF + n-gram explode +
-    broadcast join; with two resource templates it would otherwise be
-    recomputed per branch, so persist it once (cache_input)."""
-    spec = MappingSpec(PIPELINE_SPEC, auto_declare=False)
-    engine = MapperEngine(spec)
-    return engine.apply(linked, file_name="pages", dedup=False,
-                        cache_input=cache_input)
+#: kept for fingerprinting / compatibility: the full logical mapping
+PIPELINE_SPEC = {"page": PAGE_SPEC, "link": LINK_SPEC, "entity": ENTITY_SPEC}
+
+
+def build_quads_split(extracted: DataFrame,
+                      links: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Candidate quads as (page_quads, entity_linked_quads) — no dedup.
+
+    ``extracted``: one row per url (url, warc_ts, text, lang);
+    ``links``: one row per url x mention (url, mention, entity_iri,
+    entity_type).  Page triples come straight from ``extracted``; entity
+    description triples from the distinct (iri, type, label) set — the
+    duplicate-per-occurrence emission never exists, so the final dedup
+    shuffles ~4x less.
+
+    The SPLIT exists because the two halves have different downstream
+    needs: page quads are duplicate-free by construction (one row per url;
+    callers must feed a url-unique pages table) and their subjects/objects
+    live in URL/literal space that canonical rewriting never touches, so
+    they can bypass the rewrite joins AND the final dedup shuffle — at
+    corpus scale that branch is the bulk of the quad volume and it becomes
+    a pure map-side pipeline."""
+    page_q = MapperEngine(MappingSpec(PAGE_SPEC, auto_declare=False)).apply(
+        extracted, file_name="pages", dedup=False, cache_input=False)
+    link_q = MapperEngine(MappingSpec(LINK_SPEC, auto_declare=False)).apply(
+        links.select("url", "entity_iri"),
+        file_name="links", dedup=False, cache_input=False)
+    # the repartition is a codegen boundary, not a performance knob: fused,
+    # the hash-aggregate's generated code lands inside the (oversized)
+    # emission consume function, Janino splits it into a nested class, and
+    # JDK17 throws IllegalAccessError on BufferedRowIterator.unsafeRow
+    # (observed on this exact plan). The exchange is dictionary-sized.
+    entities = (links.select("entity_iri", "entity_type", "mention")
+                .distinct().repartition("entity_iri"))
+    entity_q = MapperEngine(MappingSpec(ENTITY_SPEC, auto_declare=False)).apply(
+        entities, file_name="entities", dedup=False, cache_input=False)
+    from rdf_mapper_spark.quads import union_quads
+
+    return page_q, union_quads([link_q, entity_q])
+
+
+def build_quads(extracted: DataFrame, links: DataFrame) -> DataFrame:
+    """Full candidate quad union (see build_quads_split)."""
+    from rdf_mapper_spark.quads import union_quads
+
+    page_q, dyn_q = build_quads_split(extracted, links)
+    return union_quads([page_q, dyn_q])
 
 
 def _input_fingerprint(pages: DataFrame, aliases: DataFrame,
@@ -142,37 +197,64 @@ def run_pipeline(
         ),
         fingerprint=fp,
     )
-    linked = runner.run(
-        "link", lambda: linked_pages(extracted, aliases), fingerprint=fp
+    # fused mode: the extraction UDF output feeds BOTH the page-triple
+    # branch and the linking branch — persist it once (checkpointed mode
+    # reads it back from parquet, already cheap to rescan); same for the
+    # link table, consumed by the mention-triple and entity-dictionary
+    # branches.  The caches are MATERIALIZED eagerly (count) because the
+    # final job's union branches are independent stages that run
+    # concurrently: against a lazy cache each branch read-through-computes
+    # the full upstream plan itself (the extraction UDF was measured
+    # running 3x), materializing first makes every branch a cache scan.
+    n_pages = n_links = None
+    if workdir is None:
+        extracted = extracted.persist()
+        n_pages = extracted.count()
+    links = runner.run(
+        "link", lambda: link_entities(extracted, aliases), fingerprint=fp
     )
-    # fused mode: persist the UDF-heavy linked input; checkpointed mode
-    # reads it back from parquet, which is already cheap to rescan.
-    # Project to the columns the mapping actually references BEFORE the
-    # persist — `text` (~1 KB/row) would otherwise be materialized in the
-    # cache for nothing (persist defeats Catalyst column pruning).
-    triple_cols = ["url", "warc_ts", "lang", "mention", "entity_iri",
-                   "entity_type"]
-    candidate = runner.run(
-        "triples",
-        lambda: build_quads(linked.select(*triple_cols),
-                            cache_input=workdir is None),
-        fingerprint=fp,
+    if workdir is None:
+        links = links.persist()
+        n_links = links.count()
+    page_q = runner.run(
+        "triples_pages",
+        lambda: build_quads_split(extracted, links)[0], fingerprint=fp,
+    )
+    dyn_q = runner.run(
+        "triples_links",
+        lambda: build_quads_split(extracted, links)[1], fingerprint=fp,
     )
 
     def canonical() -> DataFrame:
+        # only the entity-linked half can contain rewritable IRIs or
+        # duplicates; the page half is distinct by construction and joins
+        # the output untouched (no rewrite joins, no dedup shuffle)
         edges = sameas_edges_from_aliases(aliases)
         mapping = canonical_mapping(edges)
-        rewritten = rewrite_canonical(candidate, mapping)
-        return dedup_quads(rewritten, salt=dedup_salt)
+        rewritten = rewrite_canonical(dyn_q, mapping)
+        from rdf_mapper_spark.quads import union_quads
+
+        return union_quads(
+            [page_q, dedup_quads(rewritten, salt=dedup_salt)]
+        )
 
     final = runner.run("canonical", canonical, fingerprint=fp)
 
     n_triples = final.count()
     if materialize and workdir:
         write_graph_tables(final, f"{workdir}/graph_tables")
+    # release this run's caches: callers consume the metrics (and the
+    # materialized tables), not the DataFrames — leaked cache entries would
+    # also be silently reused by any later identical-plan run, corrupting
+    # benchmarks
+    if workdir is None:
+        extracted.unpersist()
+        links.unpersist()
     wall = time.time() - t0
     return {
         "triples": n_triples,
+        "pages": n_pages,
+        "links": n_links,
         "wall_sec": round(wall, 3),
         "triples_per_sec": round(n_triples / wall, 1) if wall > 0 else None,
         "stages": runner.metrics,
