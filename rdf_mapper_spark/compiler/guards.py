@@ -46,17 +46,88 @@ class _GuardTranslator:
     def translate(self, node: ast.expr) -> Column:
         return self._expr(node)
 
-    def _expr(self, node: ast.expr) -> Column:
+    # -- the two boolean notions of the reference guard gate ---------------
+    #
+    # The reference skips a resource iff `eval(guard) is None or is False`
+    # (IDENTITY checks, template_support.py:212-218): '' and 0 KEEP the
+    # row.  Python `and`/`or` return operand VALUES, so the gate composes
+    # from two notions:
+    #   keep(x)     -- x is not None and x is not False
+    #   pytruthy(x) -- python bool(x), which selects which operand a
+    #                  BoolOp returns
+    def keep(self, node: ast.expr) -> Column:
         if isinstance(node, ast.BoolOp):
-            parts = [self._as_bool(v) for v in node.values]
+            vals = node.values
+            out = self.keep(vals[-1])
+            if isinstance(node.op, ast.And):
+                # a and b -> b if pytruthy(a) else a
+                for v in reversed(vals[:-1]):
+                    out = F.when(self._pytruthy(v), out).otherwise(
+                        self._keep_value(v))
+            else:
+                # a or b -> a if pytruthy(a) else b; a truthy => keep
+                for v in reversed(vals[:-1]):
+                    out = self._pytruthy(v) | out
+            return out
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            return ~self._pytruthy(node.operand)
+        if isinstance(node, ast.Compare):
+            # comparison result is a real bool; SQL null (python raise)
+            # drops the row in Filter, matching "error -> skip"
+            return self._compare(node)
+        if isinstance(node, ast.IfExp):
+            return F.when(self._pytruthy(node.test),
+                          self.keep(node.body)).otherwise(
+                self.keep(node.orelse))
+        return self._keep_value(node)
+
+    def _keep_value(self, node: ast.expr) -> Column:
+        """keep for a value-typed expression: not null, not boolean False
+        ('' and 0 pass — identity semantics, not truthiness)."""
+        col = self._expr(node)
+        if self._dtype_of(node) == "boolean":
+            return F.coalesce(col, F.lit(False))
+        return col.isNotNull()
+
+    def _pytruthy(self, node: ast.expr) -> Column:
+        """python bool(value); nulls pin to false (bool(None) is False)."""
+        if isinstance(node, ast.BoolOp):
+            parts = [self._pytruthy(v) for v in node.values]
             out = parts[0]
             for p in parts[1:]:
                 out = (out & p) if isinstance(node.op, ast.And) else (out | p)
             return out
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            return ~self._pytruthy(node.operand)
+        if isinstance(node, ast.Compare):
+            return F.coalesce(self._compare(node), F.lit(False))
+        col = self._expr(node)
+        if self._dtype_of(node) == "string":
+            return F.coalesce(F.length(col) > 0, F.lit(False))
+        return F.coalesce(col.cast("boolean"), F.lit(False))
+
+    def _dtype_of(self, node: ast.expr) -> str | None:
+        if isinstance(node, ast.Name) and self.cctx.has_var(node.id):
+            return (self.cctx.resolve(node.id).dtype or "").split("(")[0]
+        if isinstance(node, ast.Constant):
+            v = node.value
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, str):
+                return "string"
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
+            if node.func.id == "str":
+                return "string"
+        return None
+
+    def _expr(self, node: ast.expr) -> Column:
+        if isinstance(node, ast.BoolOp):
+            # value position (e.g. arithmetic over a BoolOp) — rare; treat
+            # as the boolean combination of truthiness
+            return self._pytruthy(node)
         if isinstance(node, ast.UnaryOp):
             if isinstance(node.op, ast.Not):
-                inner = _GuardTranslator(self.cctx, positive=False)
-                return ~inner._as_bool_pinned(node.operand)
+                return ~self._pytruthy(node.operand)
             if isinstance(node.op, ast.USub):
                 return -self._expr(node.operand)
             raise _Untranslatable(ast.dump(node))
@@ -67,7 +138,7 @@ class _GuardTranslator:
         if isinstance(node, ast.Constant):
             return F.lit(node.value)
         if isinstance(node, ast.IfExp):
-            return F.when(self._as_bool(node.test), self._expr(node.body)) \
+            return F.when(self._pytruthy(node.test), self._expr(node.body)) \
                 .otherwise(self._expr(node.orelse))
         if isinstance(node, ast.BinOp):
             left, right = self._expr(node.left), self._expr(node.right)
@@ -165,30 +236,6 @@ class _GuardTranslator:
     def _pin(self, cmp: Column) -> Column:
         return cmp if self.positive else F.coalesce(cmp, F.lit(False))
 
-    def _truthy(self, node: ast.expr) -> Column:
-        """Python truthiness of an operand: non-empty for strings (a
-        boolean CAST of 'john' is NULL and of '0' is false — both diverge
-        from the reference's eval, which keeps any non-empty string)."""
-        col = self._expr(node)
-        if self._is_string(node):
-            return col.isNotNull() & (F.length(col) > 0)
-        return col.cast("boolean")
-
-    def _is_string(self, node: ast.expr) -> bool:
-        if isinstance(node, ast.Name) and self.cctx.has_var(node.id):
-            return (self.cctx.resolve(node.id).dtype or "") == "string"
-        if isinstance(node, ast.Constant):
-            return isinstance(node.value, str)
-        return (isinstance(node, ast.Call)
-                and isinstance(node.func, ast.Name)
-                and node.func.id == "str")
-
-    def _as_bool(self, node: ast.expr) -> Column:
-        return self._pin(self._truthy(node))
-
-    def _as_bool_pinned(self, node: ast.expr) -> Column:
-        return F.coalesce(self._truthy(node), F.lit(False))
-
     def _const_of(self, node: ast.expr) -> Any:
         if isinstance(node, ast.Constant):
             return node.value
@@ -209,7 +256,7 @@ def compile_guard(source: str, cctx) -> Column:
     try:
         # no top-level coalesce: Filter's null-drops-row IS the reference's
         # "guard false/raise -> skip", and bare predicates push down
-        col = _GuardTranslator(cctx)._truthy(tree.body)
+        col = _GuardTranslator(cctx).keep(tree.body)
         return col.cast("boolean")
     except _MissingName:
         return F.lit(False)
@@ -237,7 +284,9 @@ def _guard_fallback_udf(source: str, cctx) -> Column:
             env.update({n: v for n, v in zip(names, vals) if v is not None})
             try:
                 r = eval(code, {}, env)  # noqa: S307 - reference parity
-                out.append(bool(r) if r is not None else False)
+                # reference gate: skip iff result IS None or IS False
+                # (identity — '' and 0 keep, template_support.py:212-218)
+                out.append(not (r is None or r is False))
             except Exception:
                 out.append(False)
         return pd.Series(out)
@@ -246,7 +295,7 @@ def _guard_fallback_udf(source: str, cctx) -> Column:
         env = dict(consts)
         try:
             r = eval(code, {}, env)  # noqa: S307
-            return F.lit(bool(r) if r is not None else False)
+            return F.lit(not (r is None or r is False))
         except Exception:
             return F.lit(False)
     return run(*cols)

@@ -82,3 +82,49 @@ def test_differential_random_rows(spark, rows):
         f"\nrows={rows}\n extra={sorted(map(str, got - want))}\n"
         f" missing={sorted(map(str, want - got))}"
     )
+
+
+_SPEC2 = {
+    "globals": {"$datasetBase": "http://host.example/ds"},
+    "resources": [
+        {
+            # round-2 semantics under differential fuzz: row-templated
+            # @graph, unless-null over an ABSENT column (must keep rows),
+            # python string truthiness for bare-name guards, and urljoin
+            # resolution of dot-segment / path-absolute relative refs
+            "name": "G",
+            "@graph": "<http://g.example/{region}>",
+            "unless": {"ghost": None},
+            "guard": "name",
+            "properties": {
+                "@id": "<http://x/{id}>",
+                "rel": "<../rel/{id}>",
+                "abs": "</abs/{id}>",
+                "p": "{name}",
+            },
+        },
+    ],
+}
+
+_row2 = st.fixed_dictionaries({
+    "id": st.sampled_from(["1", "2", "z"]),
+    "region": st.sampled_from(["eu", "us"]),
+    "name": st.one_of(st.none(), st.sampled_from(["", "john", "0", "x y"])),
+})
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row2, min_size=1, max_size=4))
+def test_differential_graphs_guards_urljoin(spark, rows):
+    spec_a = MappingSpec(_SPEC2, auto_declare=False)
+    state = run_mapping(spec_a, [dict(r) for r in rows], filename="file")
+    want = canonical_quadset(state.quads)
+
+    engine = MapperEngine(MappingSpec(_SPEC2, auto_declare=False))
+    df = rows_to_df(spark, [dict(r) for r in rows])
+    got = canonical_quadset(quads_of_df(engine.apply(df, file_name="file")))
+    assert got == want, (
+        f"\nrows={rows}\n extra={sorted(map(str, got - want))}\n"
+        f" missing={sorted(map(str, want - got))}"
+    )

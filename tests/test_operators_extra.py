@@ -273,9 +273,11 @@ def test_unless_null_with_absent_column(spark):
     assert _objs(quads_of_df(q2), "/def/p") == ["1", "2"]
 
 
-def test_guard_string_truthiness(spark):
-    # bare string guard: python truthiness (non-empty), NOT boolean cast —
-    # 'john' must keep the row, '' and null must drop it, and '0' is truthy
+def test_guard_identity_semantics(spark):
+    # the reference gate is `eval(guard) is None or is False` -> skip
+    # (IDENTITY, template_support.py:212-218): '' and '0' KEEP the row
+    # (a bare string only drops on null), a boolean cast of 'john' (NULL)
+    # must not drop it either
     rows = [{"id": "1", "name": "john"}, {"id": "2", "name": ""},
             {"id": "3", "name": None}, {"id": "4", "name": "0"}]
     _, q = _apply(spark, {
@@ -285,10 +287,12 @@ def test_guard_string_truthiness(spark):
             "properties": {"@id": "<http://example.com/{id}>", "p": "{id}"},
         }],
     }, rows)
-    assert _objs(quads_of_df(q), "/def/p") == ["1", "4"]
-    # inside a boolean op too
+    assert _objs(quads_of_df(q), "/def/p") == ["1", "2", "4"]
+    # boolean op: `name and n > 2` returns '' (KEEP) when name='' — python
+    # `and` returns the falsy OPERAND, and '' is not None/False
     rows2 = [{"id": "1", "name": "john", "n": 3},
-             {"id": "2", "name": "ann", "n": 1}]
+             {"id": "2", "name": "ann", "n": 1},
+             {"id": "3", "name": "", "n": 1}]
     _, q2 = _apply(spark, {
         "resources": [{
             "name": "T",
@@ -296,7 +300,7 @@ def test_guard_string_truthiness(spark):
             "properties": {"@id": "<http://example.com/{id}>", "p": "{id}"},
         }],
     }, rows2)
-    assert _objs(quads_of_df(q2), "/def/p") == ["1"]
+    assert _objs(quads_of_df(q2), "/def/p") == ["1", "3"]
 
 
 def test_relative_iri_urljoin_semantics(spark):
