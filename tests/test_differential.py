@@ -128,3 +128,53 @@ def test_differential_graphs_guards_urljoin(spark, rows):
         f"\nrows={rows}\n extra={sorted(map(str, got - want))}\n"
         f" missing={sorted(map(str, want - got))}"
     )
+
+
+_SPEC3 = {
+    "globals": {"$datasetID": "d3"},
+    "resources": [
+        {
+            "name": "N",
+            "properties": {
+                "@id": "<http://x/n/{id}>",
+                # property-value LIST + nested inline resource + autoCV +
+                # inverse prop under fuzz
+                "multi": ["{a}", "{b}"],
+                "nested": {
+                    "name": "child",
+                    "properties": {
+                        "@id": "<parent>",
+                        "cv": "{cat | autoCV('cats')}",
+                    },
+                },
+                "^<skos:narrower>": "<http://x/root>",
+                "toks": "{a | splitComma | trim}",
+            },
+        },
+    ],
+}
+
+_row3 = st.fixed_dictionaries({
+    "id": st.sampled_from(["1", "7"]),
+    "a": st.one_of(st.none(), st.sampled_from(
+        ["x", "p,q", " spaced ", "a,,b", ""])),
+    "b": st.one_of(st.none(), st.sampled_from(["B", "c d"])),
+    "cat": st.one_of(st.none(), st.sampled_from(["red", "blue", ""])),
+})
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row3, min_size=1, max_size=3))
+def test_differential_nested_autocv_lists(spark, rows):
+    spec_a = MappingSpec(_SPEC3, auto_declare=False)
+    state = run_mapping(spec_a, [dict(r) for r in rows], filename="file")
+    want = canonical_quadset(state.quads)
+
+    engine = MapperEngine(MappingSpec(_SPEC3, auto_declare=False))
+    df = rows_to_df(spark, [dict(r) for r in rows])
+    got = canonical_quadset(quads_of_df(engine.apply(df, file_name="file")))
+    assert got == want, (
+        f"\nrows={rows}\n extra={sorted(map(str, got - want))}\n"
+        f" missing={sorted(map(str, want - got))}"
+    )
