@@ -56,6 +56,57 @@ def stream_mapping(
     return writer.start()
 
 
+def stream_kg_pipeline(
+    pages_stream: DataFrame,
+    aliases: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """The full KG-construction flow as incremental ingest: each micro-batch
+    of pages runs extract -> link -> natural-key triple emission ->
+    canonical rewrite, appending to the quad sink.
+
+    Canonicalization evidence (the sameAs alias table) is batch-side and
+    broadcast, so the per-batch rewrite is identical to the batch
+    pipeline's; page/link determinism (content-keyed IRIs) makes replays
+    idempotent under downstream dedup/compaction. Connected components run
+    on the dictionary, not the stream — per-batch output needs no global
+    state."""
+    from rdf_mapper_spark.pipeline.canonicalize import (
+        canonical_mapping,
+        rewrite_canonical,
+        sameas_edges_from_aliases,
+    )
+    from rdf_mapper_spark.pipeline.extract import with_extracted_text
+    from rdf_mapper_spark.pipeline.linking import link_entities
+    from rdf_mapper_spark.pipeline.run import build_quads_split
+    from rdf_mapper_spark.quads import union_quads
+
+    mapping = canonical_mapping(sameas_edges_from_aliases(aliases))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = with_extracted_text(batch_df).select(
+            "url", "warc_ts", F.col("extracted_text").alias("text"), "lang"
+        ).persist()
+        extracted.count()  # concurrent branches must hit a full cache
+        links = link_entities(extracted, aliases)
+        page_q, dyn_q = build_quads_split(extracted, links)
+        out = union_quads(
+            [page_q, dedup_quads(rewrite_canonical(dyn_q, mapping))]
+        )
+        out.write.mode("append").parquet(out_path)
+        extracted.unpersist()
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_quad_dedup(quad_stream: DataFrame) -> DataFrame:
     """Cross-micro-batch RDF set semantics as a custom stateful operator.
 

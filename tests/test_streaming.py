@@ -71,3 +71,43 @@ def test_stateful_quad_dedup_across_restarts(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 7  # 5 + only the 2 genuinely new quads
     assert result.select("s").distinct().count() == 7
+
+
+def test_stream_kg_pipeline_matches_batch(spark, tmp_path):
+    """Streaming ingest of the full KG flow: two micro-batches of pages must
+    produce (after compaction-dedup) the same quad set as one batch run."""
+    from pyspark.sql import functions as F
+
+    from rdf_mapper_spark.pipeline.datagen import make_alias_dict, make_pages
+    from rdf_mapper_spark.pipeline.run import run_pipeline
+    from rdf_mapper_spark.quads import dedup_quads
+    from rdf_mapper_spark.streaming import stream_kg_pipeline
+
+    pages_dir = str(tmp_path / "pages")
+    make_pages(spark, 200, n_entities=30).repartition(2).write.parquet(
+        pages_dir
+    )
+    aliases = make_alias_dict(spark, 30)
+
+    out = str(tmp_path / "quads")
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(pages_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    q = stream_kg_pipeline(stream, aliases, out, ck)
+    q.awaitTermination(300)
+
+    streamed = dedup_quads(spark.read.parquet(out))
+    batch = run_pipeline(spark, spark.read.parquet(pages_dir), aliases,
+                         workdir=None, materialize=False)
+    assert streamed.count() == batch["triples"]
+    # replay the whole stream into the same sink: dedup absorbs everything
+    q2 = stream_kg_pipeline(
+        spark.readStream.schema(spark.read.parquet(pages_dir).schema)
+        .parquet(pages_dir),
+        aliases, out, str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(300)
+    assert dedup_quads(spark.read.parquet(out)).count() == batch["triples"]
