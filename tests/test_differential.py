@@ -178,3 +178,47 @@ def test_differential_nested_autocv_lists(spark, rows):
         f"\nrows={rows}\n extra={sorted(map(str, got - want))}\n"
         f" missing={sorted(map(str, want - got))}"
     )
+
+
+_SPEC4 = {
+    "globals": {"$datasetID": "d4"},
+    "resources": [
+        {
+            "name": "L",
+            "properties": {
+                "@id": "<http://x/l/{id}>",
+                # suffix re-parse semantics (#61/#62): lang tags (possibly
+                # templated), datatype suffixes, empty-value drops
+                "lt": "{val}@en",
+                "dyn": "{val}@{lang}",
+                "dt": "{val}^^<http://www.w3.org/2001/XMLSchema#token>",
+                "plain": "pre-{val}-post",
+                "up": "{val | toUpper | trim}",
+            },
+        },
+    ],
+}
+
+_row4 = st.fixed_dictionaries({
+    "id": st.sampled_from(["1", "2"]),
+    "val": st.one_of(st.none(), st.sampled_from(
+        ["x", "", "  pad  ", "a@fr", "n^^<http://t>", "multi word"])),
+    "lang": st.one_of(st.none(), st.sampled_from(["en", "de", ""])),
+})
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row4, min_size=1, max_size=3))
+def test_differential_suffix_reparse(spark, rows):
+    spec_a = MappingSpec(_SPEC4, auto_declare=False)
+    state = run_mapping(spec_a, [dict(r) for r in rows], filename="file")
+    want = canonical_quadset(state.quads)
+
+    engine = MapperEngine(MappingSpec(_SPEC4, auto_declare=False))
+    df = rows_to_df(spark, [dict(r) for r in rows])
+    got = canonical_quadset(quads_of_df(engine.apply(df, file_name="file")))
+    assert got == want, (
+        f"\nrows={rows}\n extra={sorted(map(str, got - want))}\n"
+        f" missing={sorted(map(str, want - got))}"
+    )
