@@ -393,19 +393,35 @@ HASH_SPEC = {
 
 
 def q_kg_hash_minting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sha1-base32hex content IRIs (U5) — rows-only check:
-    base32hex is not expressible in DuckDB SQL."""
+    """Deterministic content-hash IRIs (U5), md5hex digest option so the
+    full minting path is value-checked against DuckDB.  The reference-
+    parity sha1-base32hex digest (default) is covered by byte-parity
+    vectors vs the reference's own test_template_support.py values
+    (tests/test_pyfuncs_unit.py) — same compile path, one Column swapped."""
     from rdf_mapper_spark.engine import MapperEngine
     from rdf_mapper_spark.spec import MappingSpec
 
     docs = _t(spark, sf_dir, "documents")
-    engine = MapperEngine(MappingSpec(HASH_SPEC, auto_declare=False))
+    engine = MapperEngine(MappingSpec(HASH_SPEC, auto_declare=False),
+                          hash_digest="md5hex")
     return engine.apply(docs, file_name="documents")
 
 
 # ---------------------------------------------------------------------------
 # Pipeline operators: entity linking + connected components
 # ---------------------------------------------------------------------------
+def _oracle_kg_hash_minting() -> str:
+    null = "CAST(NULL AS VARCHAR)"
+    return f"""
+SELECT DISTINCT {null} g, 'iri' sk,
+       '{KGB}/data/content/' || md5(text) s,
+       '{KGB}/def/doc' p, 'iri' ok,
+       '{KGB}/data/document/' || CAST(doc_id AS VARCHAR) o,
+       {null} odt, {null} olg
+FROM documents
+"""
+
+
 JSON_SPEC = {
     "globals": {"$datasetBase": KGB},
     "resources": [{
@@ -760,12 +776,58 @@ FROM documents
 """
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (xxhash64 bit votes — not expressible in DuckDB:
-    rows-only check)."""
-    from rdf_mapper_spark.ops.dedup import simhash_near_dups
+_SIMHASH_RADIUS = 4  # 5 bands of 12 bits — survives corpus scale
+_SIMHASH_BITS = 60   # md5 variant: 15 hex chars, signed-BIGINT-safe
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups at a scale-safe radius (4 -> 12-bit bands).
+
+    Uses the md5-based 60-bit hash variant so the WHOLE banded pipeline is
+    value-checked against DuckDB; production swaps in `simhash64`
+    (xxhash64, no string digests) via the hash_fn parameter — identical
+    plan shape, same banding math (tests/test_dedup_recall.py covers both).
+    Radii > 7 now require an explicit measured max_bucket cap
+    (ops/dedup.py simhash_near_dups guard)."""
+    from rdf_mapper_spark.ops.dedup import simhash_md5, simhash_near_dups
+
+    return simhash_near_dups(
+        _t(spark, sf_dir, "documents"), max_hamming=_SIMHASH_RADIUS,
+        hash_fn=simhash_md5, bits=_SIMHASH_BITS,
+    )
+
+
+def _oracle_dedup_simhash() -> str:
+    """DuckDB mirror of the md5/60-bit banded SimHash pipeline."""
+    bits, radius = _SIMHASH_BITS, _SIMHASH_RADIUS
+    n_bands = radius + 1
+    vote = " + ".join(
+        f"CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN (1::BIGINT << {j}) ELSE 0::BIGINT END"
+        for j in range(bits)
+    )
+    bands = []
+    for b in range(n_bands):
+        start = bits * b // n_bands
+        width = bits * (b + 1) // n_bands - start
+        mask = (1 << width) - 1
+        bands.append(
+            f"SELECT id, h, {b} band, (h >> {start}) & {mask} bkey FROM sh"
+        )
+    banded = "\nUNION ALL ".join(bands)
+    return f"""
+WITH t AS (SELECT doc_id id, string_split(text, ' ') toks FROM documents),
+tok AS (SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT h
+        FROM (SELECT id, unnest(toks) s FROM t)),
+sh0 AS (SELECT id, ({vote}) h FROM tok GROUP BY id),
+sh AS (SELECT t.id, coalesce(sh0.h, 0) h FROM t LEFT JOIN sh0 USING (id)),
+banded AS ({banded}),
+cand AS (SELECT DISTINCT a.id id_a, b.id id_b, a.h h_a, b.h h_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= {radius}
+"""
 
 
 _EMB_DIM = 64
@@ -1014,7 +1076,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_autocv": _oracle_kg_autocv(),
         "kg_inverse_backref": _oracle_kg_inverse_backref(),
         "kg_named_graphs": _oracle_kg_named_graphs(),
-        # kg_hash_minting: rows-only (base32hex sha1 not in DuckDB)
+        "kg_hash_minting": _oracle_kg_hash_minting(),
         "kg_json_props": _oracle_kg_json_props(),
         "link_mentions": _oracle_link_mentions(),
         "connected_components": _oracle_connected_components(),
@@ -1027,7 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_buckets": _oracle_dedup_minhash_buckets(),
         "dedup_minhash_pairs": _oracle_dedup_minhash_pairs(),
         "kg_row_graphs": _oracle_kg_row_graphs(),
-        # dedup_simhash: rows-only (xxhash64 not in DuckDB)
+        "dedup_simhash": _oracle_dedup_simhash(),
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "ann_topk": _oracle_ann_topk(),
         # ann_lsh: rows-only (approximate by design)

@@ -70,6 +70,10 @@ class CompileCtx:
         default_factory=lambda: _dt.datetime.now().isoformat()
     )
     shielded: bool = False  # smap_to scope: constants invisible
+    # digest for <hash(...)> IRI minting: "sha1-b32hex" (reference parity,
+    # template_support.py sha1/base32hex) or "md5hex" (DuckDB-oracle-
+    # checkable engine option; same determinism/idempotence guarantees)
+    hash_digest: str = "sha1-b32hex"
 
     @property
     def namespaces(self) -> dict[str, str]:
@@ -121,6 +125,7 @@ class CompileCtx:
             warnings=self.warnings, error_plans=self.error_plans,
             side_quad_rows=self.side_quad_rows,
             run_timestamp=self.run_timestamp, shielded=shielded,
+            hash_digest=self.hash_digest,
         )
         return out
 

@@ -281,7 +281,10 @@ def compile_uri(pattern: str, cctx: CompileCtx,
                         )
                     except MissingVar:
                         parts.append(F.lit("None"))
-            digest = sha1_b32hex_col(F.concat(*parts))
+            if cctx.hash_digest == "md5hex":
+                digest = F.md5(F.concat(*parts))
+            else:
+                digest = sha1_b32hex_col(F.concat(*parts))
             return _absolutize(ValueExpr(digest, dtype="string"), cctx)
         # templated IRI (absolute, CURIE, or relative after expansion)
         strs = _pattern_strings(ref, cctx)

@@ -37,10 +37,14 @@ class MapperEngine:
     def __init__(self, spec: MappingSpec,
                  alias_map: dict[str, str] | None = None,
                  dedup_salt: int = 0,
-                 reconcile_transport=None) -> None:
+                 reconcile_transport=None,
+                 hash_digest: str = "sha1-b32hex") -> None:
         self.spec = spec
         self.alias_map = alias_map or {}
         self.dedup_salt = dedup_salt
+        # <hash(...)> digest: sha1-b32hex (reference parity) or md5hex
+        # (value-checkable against DuckDB; see CompileCtx.hash_digest)
+        self.hash_digest = hash_digest
         # injectable OpenRefine transport (rdf_mapper_spark.reconcile);
         # None -> stdlib HTTP POST when a $reconciliationAPI is configured
         self.reconcile_transport = reconcile_transport
@@ -85,6 +89,7 @@ class MapperEngine:
             df=prepared,
             constants=constants,
             columns=df_columns(prepared),
+            hash_digest=self.hash_digest,
         )
         # one-off subjects are backref targets (<::name>)
         for name, term in self._oneoff_state.backlinks.items():

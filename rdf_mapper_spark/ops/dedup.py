@@ -274,26 +274,49 @@ def _bit_vote_fn(bit: int):
     return vote
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
-                      text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+def simhash_md5(text: Column, bits: int = 60) -> Column:
+    """md5-based SimHash (60-bit) — the DuckDB-reproducible oracle variant.
 
-    Band count is derived from the radius: with `bands = max_hamming + 1`
-    contiguous bit-chunks, any pair within Hamming <= max_hamming differs in
-    at most max_hamming chunks and therefore agrees exactly on at least one
-    (pigeonhole) — the candidate join is on (band, chunk-value) keys, never
-    all-pairs, and recall at the advertised radius is 100%.
+    Token hash = first 15 hex chars of md5(token) as a 60-bit integer
+    (fits signed BIGINT on both engines), then the same Arrow bit-vote
+    fold as `simhash64`.  Production uses `simhash64` (JVM xxhash64, no
+    string digests); this variant exists so the banded near-dup pipeline
+    is value-checkable end-to-end against DuckDB SQL."""
+    if bits != 60:
+        raise ValueError("md5 variant is fixed at 60 bits (15 hex chars)")
+    toks = tokens_col(text)
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    return F.coalesce(_simhash_votes_udf(hashes), F.lit(0).cast("long"))
 
-    Scale note: wider radii mean narrower bands (64 // bands bits), i.e.
-    larger buckets and more candidate pairs to verify — at corpus scale keep
-    max_hamming <= 7 (8-bit bands) unless the key distribution is checked.
-    """
+
+def simhash_band_stats(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      hash_fn=None, bits: int = 64) -> DataFrame:
+    """Bucket-size distribution of the banded simhash index ->
+    (band, key, n) ordered by n desc.  Run this BEFORE committing to a
+    wide radius on a large corpus: the candidate-verify cost is
+    sum(n^2)/2 over buckets, so a handful of mega-buckets means the
+    radius/band configuration will not survive scale-up."""
+    banded = _simhash_banded(docs, max_hamming, text_col, id_col,
+                             hash_fn=hash_fn, bits=bits)
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "band", "key")
+    )
+
+
+def _simhash_banded(docs: DataFrame, max_hamming: int, text_col: str,
+                    id_col: str, hash_fn=None, bits: int = 64) -> DataFrame:
+    """(id, h, band, key) — shared by the pair join and the stats view."""
     n_bands = max_hamming + 1
-    if n_bands > 64:
-        raise ValueError("max_hamming must be < 64")
-    # partition the 64 bits into n_bands contiguous chunks of near-equal
-    # width: chunk b = bits [64*b//n_bands, 64*(b+1)//n_bands).
+    if n_bands > bits:
+        raise ValueError("max_hamming must be < bits")
+    if hash_fn is None:
+        hash_fn = simhash64
     # ONE projection computes the simhash, ONE explode emits the band keys
     # (a union of per-band branches would recompute the hash n_bands times —
     # measured as the dominant cost), and the self-join keeps both sides'
@@ -303,11 +326,11 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     # the self-join would run the hash UDF once per side. 16 bytes/row —
     # ~16 GB cluster-wide at 10^9 docs, MEMORY_AND_DISK by default.
     sh = docs.select(F.col(id_col).alias("id"),
-                     simhash64(F.col(text_col)).alias("h")).persist()
+                     hash_fn(F.col(text_col)).alias("h")).persist()
     band_keys = []
     for b in range(n_bands):
-        start = 64 * b // n_bands
-        width = 64 * (b + 1) // n_bands - start
+        start = bits * b // n_bands
+        width = bits * (b + 1) // n_bands - start
         if width >= 64:  # single band: the key is the whole hash
             key = F.col("h")
         else:
@@ -317,10 +340,57 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         band_keys.append(
             F.struct(F.lit(b).alias("band"), key.alias("key"))
         )
-    banded = sh.select(
+    return sh.select(
         "id", "h", F.explode(F.array(*band_keys)).alias("bk")
     ).select("id", "h", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      hash_fn=None, bits: int = 64,
+                      max_bucket: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    Band count is derived from the radius: with `bands = max_hamming + 1`
+    contiguous bit-chunks, any pair within Hamming <= max_hamming differs in
+    at most max_hamming chunks and therefore agrees exactly on at least one
+    (pigeonhole) — the candidate join is on (band, chunk-value) keys, never
+    all-pairs, and recall at the advertised radius is 100%.
+
+    Scale note: wider radii mean narrower bands (bits // bands), i.e.
+    larger buckets and more candidate pairs to verify.  Radii > 7 are
+    therefore OPT-IN: they require an explicit ``max_bucket`` cap —
+    buckets larger than the cap are dropped from the candidate index
+    (bounded recall loss on pathological/boilerplate content, bounded
+    O(max_bucket^2) verify cost per bucket — the Manku et al. treatment).
+    Measure first with `simhash_band_stats`.
+
+    ``hash_fn``/``bits`` select the hash variant: default `simhash64`
+    (xxhash64, production) or `simhash_md5`/60 (DuckDB-oracle-checkable).
+    """
+    n_bands = max_hamming + 1
+    if max_hamming > 7 and max_bucket is None:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 7 gives {bits // n_bands}-bit band "
+            "keys — at corpus scale the buckets go quadratic. Pass an "
+            "explicit max_bucket cap (measure with simhash_band_stats) "
+            "to opt in to a wide radius."
+        )
+    banded = _simhash_banded(docs, max_hamming, text_col, id_col,
+                             hash_fn=hash_fn, bits=bits)
+    if max_bucket is not None:
+        # window count over the same (band, key) the join shuffles on —
+        # the exchange is shared, so the guard costs no extra shuffle
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a, b2 = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b2, (F.col("a.band") == F.col("b.band"))

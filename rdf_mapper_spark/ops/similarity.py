@@ -81,17 +81,25 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 6, dim: int | None = None, seed: int = 42,
-             multiprobe: bool = True,
+             multiprobe: bool = True, n_tables: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket(s).
+    """Approximate top-k: score only candidates sharing an LSH bucket.
 
-    Multi-probe (default): each query also probes every bucket at Hamming
-    distance 1 in sign-pattern space (one flipped hyperplane) — near
-    neighbors that landed just across one hyperplane are recovered, turning
-    single-probe's luck-of-the-bucket recall into (n_planes+1)/2^n_planes
-    coverage of the bucket space per query.  The probe fan-out multiplies
-    only the (small, broadcast) QUERY side; the big table is still scanned
-    once and hash-joined.
+    Multi-TABLE (``n_tables`` = L): L independent seeded hyperplane sets,
+    each hashing every vector to its own bucket space; candidates are the
+    union across tables (the classical LSH amplification — miss probability
+    per true neighbor drops from p to p^L).  The big table carries L bucket
+    keys (one explode, Lx index rows — the canonical space-for-recall
+    trade; at scale these are L stored partition columns, not a runtime
+    explode).  Duplicate (qid, neighbor) candidates that collide in more
+    than one table are dropped BEFORE exact scoring so each pair is scored
+    once.
+
+    Multi-PROBE (default): within each table, each query also probes every
+    bucket at Hamming distance 1 in sign-pattern space (one flipped
+    hyperplane) — near neighbors just across one hyperplane are recovered.
+    The probe fan-out multiplies only the (small, broadcast) QUERY side;
+    the big table is still scanned once and hash-joined.
 
     At 100 TB this turns a full-table scan per query batch into a
     partition-pruned bucket scan (bucket is a stored/partition column in
@@ -100,26 +108,38 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
+    n_tables = max(1, n_tables)
+    tables = [hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
+    # Bucket key is namespaced per table: key = t * 2^n_planes + bucket.
+    width = 1 << n_planes
+
+    def _keyed(vec: Column) -> Column:
+        return F.array(*[
+            (lsh_bucket_expr(vec, tables[t]) + F.lit(t * width)).cast("int")
+            for t in range(n_tables)
+        ])
+
     emb_b = embeddings.select(
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        F.explode(_keyed(F.col(vec_col))).alias("bucket"),
     )
     qbase = queries.select(
-        "qid", "qvec", lsh_bucket_expr(F.col("qvec"), planes).alias("b0")
+        "qid", "qvec", F.posexplode(_keyed(F.col("qvec"))).alias("t", "b0")
     )
     if multiprobe:
         probes = F.array(
             F.col("b0"),
             *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
         )
-        q_b = qbase.select(
-            "qid", "qvec", F.explode(probes).alias("bucket")
-        )
+        q_b = qbase.select("qid", "qvec", F.explode(probes).alias("bucket"))
     else:
-        q_b = qbase.withColumnRenamed("b0", "bucket")
-    cand = emb_b.join(F.broadcast(q_b), "bucket").where(
-        F.col("neighbor") != F.col("qid")
+        q_b = qbase.select("qid", "qvec", F.col("b0").alias("bucket"))
+    cand = (
+        emb_b.join(F.broadcast(q_b), "bucket")
+        .where(F.col("neighbor") != F.col("qid"))
+        # union of L tables: score each (qid, neighbor) once
+        .dropDuplicates(["qid", "neighbor"])
     )
     scored = cand.select(
         "qid", "neighbor",

@@ -22,14 +22,44 @@ def test_multiprobe_beats_single_probe_recall(spark):
              for r in cosine_topk(emb, queries, k=k).collect()}
     single = {(r.qid, r.neighbor)
               for r in lsh_topk(emb, queries, k=k, n_planes=5, dim=16,
-                                multiprobe=False).collect()}
+                                multiprobe=False, n_tables=1).collect()}
     multi = {(r.qid, r.neighbor)
              for r in lsh_topk(emb, queries, k=k, n_planes=5, dim=16,
-                               multiprobe=True).collect()}
+                               multiprobe=True, n_tables=1).collect()}
     r_single = len(single & exact) / len(exact)
     r_multi = len(multi & exact) / len(exact)
     assert r_multi >= r_single
-    assert r_multi >= 0.5, (r_single, r_multi)  # seeded: deterministic
+    assert r_multi >= 0.2, (r_single, r_multi)  # seeded: deterministic
+
+
+def test_multitable_recall_at_10(spark):
+    """The shipped configuration: L seeded plane sets union-ed.
+
+    Recall@10 target >= 0.6 vs the exact verifier (round-2 verdict item #1;
+    single-table multiprobe measured 0.21 on this fixture)."""
+    emb, queries = _fixture(spark)
+    k = 10
+    exact = {(r.qid, r.neighbor)
+             for r in cosine_topk(emb, queries, k=k).collect()}
+    multi = {(r.qid, r.neighbor)
+             for r in lsh_topk(emb, queries, k=k, n_planes=5, dim=16,
+                               multiprobe=True, n_tables=6).collect()}
+    recall = len(multi & exact) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_multitable_beats_single_table(spark):
+    emb, queries = _fixture(spark, n=250, seed=23)
+    k = 10
+    exact = {(r.qid, r.neighbor)
+             for r in cosine_topk(emb, queries, k=k).collect()}
+    one = {(r.qid, r.neighbor)
+           for r in lsh_topk(emb, queries, k=k, n_planes=5, dim=16,
+                             n_tables=1).collect()}
+    six = {(r.qid, r.neighbor)
+           for r in lsh_topk(emb, queries, k=k, n_planes=5, dim=16,
+                             n_tables=6).collect()}
+    assert len(six & exact) >= len(one & exact)
 
 
 def test_multiprobe_no_duplicate_pairs(spark):

@@ -79,9 +79,12 @@ def test_simhash_radius_guarantee_exhaustive(spark):
     ]
     docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
     for radius in (3, 6, 10):
+        # radius > 7 is opt-in: requires an explicit bucket cap
+        cap = {"max_bucket": 1000} if radius > 7 else {}
         banded = {
             (r.id_a, r.id_b, r.hamming)
-            for r in simhash_near_dups(docs, max_hamming=radius).collect()
+            for r in simhash_near_dups(docs, max_hamming=radius,
+                                       **cap).collect()
         }
         hs = {r.doc_id: r.h for r in docs.select(
             "doc_id", simhash64(F.col("text")).alias("h")).collect()}
@@ -91,6 +94,86 @@ def test_simhash_radius_guarantee_exhaustive(spark):
             and bin(hs[a] ^ hs[b]).count("1") <= radius
         }
         assert banded == exact, f"radius {radius}: {banded} != {exact}"
+
+
+def test_simhash_finds_pair_at_hamming_4(spark):
+    """Planted pair at the SHIPPED radius (entry query uses max_hamming=4)."""
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "engineers review the quarterly partition strategy document")
+    words = ["zebra", "quantum", "lattice", "harbor", "velvet", "union",
+             "crimson", "oak", "tundra", "prism", "ember", "flux",
+             "granite", "ivory", "jade", "koala"]
+    near = _mutate_to_hamming(spark, base, words, 4)
+    docs = spark.createDataFrame(
+        [(1, base), (2, near),
+         (3, "completely different text about astronomy and star formation "
+             "in distant elliptical galaxies observed last spring")],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_near_dups(docs, max_hamming=4)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert found.get((1, 2)) == 4, f"Hamming-4 pair missed: {found}"
+
+
+def test_simhash_wide_radius_requires_bucket_cap(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_bucket"):
+        simhash_near_dups(docs, max_hamming=8)
+    # opt-in with an explicit cap works
+    assert simhash_near_dups(docs, max_hamming=8,
+                             max_bucket=100).count() == 0
+
+
+def test_simhash_band_stats_and_bucket_cap(spark):
+    """The stats view reports bucket sizes; the cap drops mega-buckets."""
+    from rdf_mapper_spark.ops.dedup import simhash_band_stats
+
+    # 6 identical docs -> every band bucket has n=6; 1 distinct doc
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(6)]
+        + [(99, "totally different words about parquet and shuffles")],
+        ["doc_id", "text"],
+    )
+    stats = simhash_band_stats(docs, max_hamming=3).collect()
+    assert stats[0]["n"] == 6  # ordered desc
+    assert all(r["n"] >= 1 for r in stats)
+    # cap below the clone-cluster size suppresses its pairs entirely
+    capped = simhash_near_dups(docs, max_hamming=3, max_bucket=5)
+    assert capped.count() == 0
+    uncapped = simhash_near_dups(docs, max_hamming=3)
+    assert uncapped.count() == 15  # C(6,2) identical pairs
+
+
+def test_simhash_md5_variant_matches_duckdb_semantics(spark):
+    """60-bit md5 simhash: banded pairs == exact all-pairs at the radius
+    (same guarantee as the xxhash64 path, different hash family)."""
+    from pyspark.sql import functions as F
+
+    from rdf_mapper_spark.ops.dedup import simhash_md5
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "lambda mu nu xi omicron pi rho sigma",
+        "totally unrelated content about parquet row groups",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    hs = {r.doc_id: r.h for r in docs.select(
+        "doc_id", simhash_md5(F.col("text")).alias("h")).collect()}
+    assert all(0 <= h < (1 << 60) for h in hs.values())
+    for radius in (4, 6):
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_dups(
+                docs, max_hamming=radius, hash_fn=simhash_md5,
+                bits=60).collect()
+        }
+        exact = {
+            (a, b, bin(hs[a] ^ hs[b]).count("1"))
+            for a in hs for b in hs if a < b
+            and bin(hs[a] ^ hs[b]).count("1") <= radius
+        }
+        assert banded == exact, f"radius {radius}"
 
 
 def test_embedding_lsh_subset_of_exact(spark):

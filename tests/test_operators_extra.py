@@ -353,3 +353,30 @@ def test_map_by_miss_counts_as_error(spark):
 
     with pytest.raises(RuntimeError):
         eng.check_abort_on_error()
+
+
+def test_hash_digest_md5hex_option(spark):
+    """MapperEngine(hash_digest="md5hex"): <hash(...)> mints md5-hex IRIs
+    (the DuckDB-oracle-checkable option); default stays sha1-base32hex."""
+    import hashlib
+
+    spec = {
+        "globals": {"$datasetBase": "http://example.com"},
+        "resources": [{
+            "name": "T",
+            "properties": {
+                "@id": "<hash(v)>",
+                "p": "x",
+            },
+        }],
+    }
+    rows = [{"v": "hello"}]
+    _, q_md5 = _apply(spark, spec, rows, hash_digest="md5hex")
+    subj_md5 = [r.s for r in q_md5.collect()]
+    want = hashlib.md5(b"hello").hexdigest()
+    assert subj_md5 == [f"http://example.com/data/T/{want}"]
+    from rdf_mapper_spark.pyfuncs import sha1_b32hex
+
+    _, q_sha = _apply(spark, spec, rows)
+    subj_sha = [r.s for r in q_sha.collect()]
+    assert subj_sha == [f"http://example.com/data/T/{sha1_b32hex('hello')}"]
