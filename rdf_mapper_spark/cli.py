@@ -94,10 +94,10 @@ def main(argv: list[str] | None = None) -> int:
             r["value"] for r in nquads_lines(quads).collect()
         ) + "\n"
     elif args.format == "update":
-        out_text = sparql_update_script(quads, engine.preserved_graphs,
+        out_text = sparql_update_script(quads, engine.resolve_preserved_graphs(),
                                         dict(spec.namespaces))
     else:
-        out_text = sparql_delete_script(quads, engine.preserved_graphs,
+        out_text = sparql_delete_script(quads, engine.resolve_preserved_graphs(),
                                         dict(spec.namespaces))
 
     if args.outfile:

@@ -74,6 +74,19 @@ class CompileCtx:
     # template_support.py sha1/base32hex) or "md5hex" (DuckDB-oracle-
     # checkable engine option; same determinism/idempotence guarantees)
     hash_digest: str = "sha1-b32hex"
+    # run-wide reconcile verdict cache, (endpoint, keytype, filters) ->
+    # {key: (match_id, possible)} — mirrors the reference's per-run
+    # TemplateState cache (template_state.py:71-78): one API call per
+    # distinct key across ALL call sites.  Shared through child().
+    reconcile_cache: dict = field(default_factory=dict)
+    # huge-dictionary reconcile lookups register (key_col, resolved_df,
+    # alias) here; _compile_resource_body left-broadcast-joins them onto
+    # the emission frame.  Shared only with children over the SAME
+    # DataFrame (column-name resolution must target the frame the body
+    # will join); `joinable` marks contexts where that application is
+    # guaranteed to happen.
+    pending_joins: list = field(default_factory=list)
+    joinable: bool = False
 
     @property
     def namespaces(self) -> dict[str, str]:
@@ -119,6 +132,7 @@ class CompileCtx:
         consts = {} if shielded else dict(self.constants)
         if extra_constants:
             consts.update(extra_constants)
+        same_df = df is self.df
         out = CompileCtx(
             spec=self.spec, df=df, constants=consts, columns=columns,
             backlinks=self.backlinks, autocv_uses=self.autocv_uses,
@@ -126,6 +140,9 @@ class CompileCtx:
             side_quad_rows=self.side_quad_rows,
             run_timestamp=self.run_timestamp, shielded=shielded,
             hash_digest=self.hash_digest,
+            reconcile_cache=self.reconcile_cache,
+            pending_joins=self.pending_joins if same_df else [],
+            joinable=self.joinable and same_df,
         )
         return out
 

@@ -616,27 +616,43 @@ def compile_reconcile(ve: ValueExpr, args: list[Any], cctx: CompileCtx) -> Value
         if alias_map:
             keys_df = keys_df.where(~F.col("key").isin(list(alias_map)))
         transport = cctx.constants.get("__reconcile_transport__")
-        results = reconcile_keys(keys_df, str(endpoint), keytype=keytype,
-                                 filters=filters, transport=transport).collect()
+        # run-wide verdict cache (reference TemplateState.reconcile_cache,
+        # template_state.py:71-78): ONE API call per distinct
+        # (key, keytype, endpoint, filters) across every call site of the
+        # run.  The per-site proxy/annotation emission below still runs for
+        # cached keys — proxy IRIs are namespaced by the call-site `name`.
+        cache: dict = cctx.reconcile_cache.setdefault(
+            (str(endpoint), keytype_str, tuple(filters)), {}
+        )
+        site_keys = [r.key for r in keys_df.collect()]
+        new_keys = [k for k in site_keys if k not in cache]
+        if new_keys:
+            nk_df = (keys_df if len(new_keys) == len(site_keys)
+                     else keys_df.where(F.col("key").isin(new_keys)))
+            for row in reconcile_keys(nk_df, str(endpoint), keytype=keytype,
+                                      filters=filters,
+                                      transport=transport).collect():
+                cache[row.key] = (row.match_id, row.possible)
         g = cctx.constants.get("$graph_const")
-        for row in results:
-            if row.match_id:
-                resolved_map[row.key] = row.match_id
+        for key in site_keys:
+            match_id, possible = cache[key]
+            if match_id:
+                resolved_map[key] = match_id
                 continue
             if skip_placeholders:
-                resolved_map[row.key] = None
+                resolved_map[key] = None
                 continue
-            proxy_iri = proxy_base + sha1_b32hex(row.key + keytype_str)
-            resolved_map[row.key] = proxy_iri
+            proxy_iri = proxy_base + sha1_b32hex(key + keytype_str)
+            resolved_map[key] = proxy_iri
             cctx.side_quad_rows.append(
                 (g, "iri", proxy_iri, RDF_TYPE, "iri", keytype_str,
                  None, None))
             cctx.side_quad_rows.append(
                 (g, "iri", proxy_iri, SKOS + "prefLabel", "literal",
-                 row.key, None, None))
-            for j, pm in enumerate(row.possible or []):
+                 key, None, None))
+            for j, pm in enumerate(possible or []):
                 bn = hashlib.md5(
-                    f"rec-{name}-{row.key}-{j}".encode()
+                    f"rec-{name}-{key}-{j}".encode()
                 ).hexdigest()
                 cctx.side_quad_rows.append(
                     (g, "iri", proxy_iri, REC_POSSIBLE_MATCH, "bnode", bn,
@@ -654,12 +670,34 @@ def compile_reconcile(ve: ValueExpr, args: list[Any], cctx: CompileCtx) -> Value
         have_full_cover = True  # every distinct key now has a verdict
 
     live = {k: v for k, v in resolved_map.items() if v is not None}
+    # three lookup tiers by dictionary size:
+    #   <= LITERAL_MAP_MAX: inline CreateMap (pure codegen);
+    #   <= BROADCAST_MIN:   Arrow-batched UDF, dict pickled in the closure;
+    #   >  BROADCAST_MIN:   left BroadcastHashJoin against the resolved DF
+    #                       (the clean form beyond closure scale — the dict
+    #                       ships once via the broadcast exchange, and at
+    #                       true scale the resolved side can stay a
+    #                       distributed DF instead of a driver dict).
+    # The join tier needs a context whose frame the resource body will
+    # re-base (joinable) and a scalar key (per-element array lookups can't
+    # be joined); otherwise it degrades to the UDF tier.
+    use_join = (len(live) > _RECONCILE_BROADCAST_MIN
+                and cctx.joinable and not ve.is_array)
     big_lookup = (_dict_lookup_udf(live)
-                  if len(live) > _RECONCILE_LITERAL_MAP_MAX else None)
+                  if not use_join and len(live) > _RECONCILE_LITERAL_MAP_MAX
+                  else None)
 
     def lookup_of(c: Column) -> Column:
         if not live:
             return F.lit(None).cast("string")
+        if use_join:
+            alias = f"__rec_lookup_{len(cctx.pending_joins)}"
+            res_df = cctx.df.sparkSession.createDataFrame(
+                list(live.items()),
+                schema=f"__k_{alias} string, {alias} string",
+            )
+            cctx.pending_joins.append((c.cast("string"), res_df, alias))
+            return F.col(alias)
         if big_lookup is not None:
             # big dictionaries: Arrow-batched lookup — the dict ships once
             # per executor in the UDF closure instead of exploding codegen
@@ -685,6 +723,9 @@ def compile_reconcile(ve: ValueExpr, args: list[Any], cctx: CompileCtx) -> Value
 
 
 _RECONCILE_LITERAL_MAP_MAX = 1000
+# above this many resolved keys the closure-pickled Arrow UDF lookup gives
+# way to a left BroadcastHashJoin (see the tier comment at the call site)
+_RECONCILE_BROADCAST_MIN = 10_000_000
 
 
 def _decimal_lexical(x: float) -> str:
@@ -782,6 +823,10 @@ def _compile_resource_body(rs: ResourceSpec, fctx: CompileCtx, fdf: DataFrame,
     pctx = fctx.child(fdf, subj_ctx_cols, dict(fctx.constants))
     pctx.constants["__vocab__"] = fctx.constants["__vocab__"]
     pctx.constants["__vocab_seen__"] = fctx.constants["__vocab_seen__"]
+    # this body applies pending_joins to its emission frame below, so
+    # same-frame children may register huge-dictionary lookups as joins
+    pctx.pending_joins = []
+    pctx.joinable = True
 
     emissions: list[tuple[Column, ValueExpr, bool]] = []  # (pred, term, inverse)
 
@@ -833,6 +878,14 @@ def _compile_resource_body(rs: ResourceSpec, fctx: CompileCtx, fdf: DataFrame,
     #      (higher-order filter/transform would force interpreted eval —
     #      measured ~50x slower on the quad hot path);
     #   3. each array-valued term gets its own explode-then-wrap select.
+    # huge-dictionary reconcile lookups: re-base the emission frame with a
+    # left broadcast join per registered lookup (the resolved side is
+    # dictionary-shaped — unique keys — so row multiplicity is preserved)
+    for key_col, res_df, alias in pctx.pending_joins:
+        fdf = fdf.join(
+            F.broadcast(res_df), key_col == F.col(f"__k_{alias}"), "left"
+        ).drop(f"__k_{alias}")
+
     if emissions:
         out.extend(
             _emit_quads(fdf, graph, subj_kind, subj_val, emissions)

@@ -50,6 +50,9 @@ class MapperEngine:
         self.reconcile_transport = reconcile_transport
         self.warnings: list[str] = []
         self.preserved_graphs: set[str] = set()
+        # row-templated @graphAdd resources: lazy distinct-g plans folded
+        # into the preserved set by resolve_preserved_graphs()
+        self._preserved_graph_plans: list[DataFrame] = []
         # fold one-offs once on the driver
         self._oneoff_state = pyeval.EvalState(spec)
         base_ctx = {**spec.context, "$file": None, "$row": None,
@@ -98,20 +101,23 @@ class MapperEngine:
 
         plans: list[DataFrame] = []
         for rs in self.spec.resources:
-            plans.extend(compile_resource(rs, cctx))
+            rs_plans = compile_resource(rs, cctx)
+            plans.extend(rs_plans)
             if rs.graph and rs.preserved_graph:
                 try:
                     state = pyeval.EvalState(self.spec)
                     g = pyeval.uri_expand(rs.graph, dict(constants), state)[0]
                     self.preserved_graphs.add(g)
                 except Exception:
-                    # row-templated @graphAdd: graph IRIs are per-row columns
-                    # — callers needing the preserved set must derive it from
-                    # the output's distinct g values
-                    self.warnings.append(
-                        f"{rs.name}: row-templated @graphAdd cannot be folded"
-                        " into preserved_graphs on the driver"
-                    )
+                    # row-templated @graphAdd: graph IRIs are per-row
+                    # columns — record the resource's own quad plans so
+                    # resolve_preserved_graphs() can fold their distinct g
+                    # lazily (reference folds per row while emitting,
+                    # template_processor.py:72-97)
+                    if rs_plans:
+                        self._preserved_graph_plans.append(
+                            union_quads(rs_plans).select("g").distinct()
+                        )
         for use in cctx.autocv_uses:
             plans.append(
                 autocv_side_quads(use, self.spec,
@@ -129,6 +135,19 @@ class MapperEngine:
             return empty_quads(spark)
         out = union_quads(plans)
         return dedup_quads(out, salt=self.dedup_salt) if dedup else out
+
+    def resolve_preserved_graphs(self) -> set[str]:
+        """The full preserved-graph set for the update/delete sinks.
+
+        Constant @graphAdd graphs fold on the driver during apply(); for
+        row-templated @graphAdd the per-resource distinct output graphs are
+        computed here (dictionary-sized by construction — one row per
+        distinct graph IRI).  Matches the reference, which accumulates
+        graph IRIs per emitted row (template_processor.py:72-97)."""
+        out = set(self.preserved_graphs)
+        for plan in self._preserved_graph_plans:
+            out |= {r.g for r in plan.collect() if r.g is not None}
+        return out
 
     def count_errors(self) -> dict[str, int]:
         """Row-error accounting (reference K6, template_processor.py:35-37):

@@ -213,3 +213,93 @@ def test_reconcile_filters_from_prop_def(spark, tmp_path):
     assert q["type"] == "http://t/Org"
     assert q["properties"] == [{"pid": "http://t/inScheme",
                                 "v": "http://t/Orgs"}]
+
+
+def test_reconcile_run_wide_cache_one_call_per_key(spark, tmp_path):
+    """Two props reconciling overlapping keys -> each key queried ONCE
+    (reference TemplateState.reconcile_cache, template_state.py:71-78)."""
+    transport, log = _transport(tmp_path)
+    spec_dict = {
+        "globals": {"$datasetBase": _BASE,
+                    "$reconciliationAPI": "http://svc/reconcile"},
+        "resources": [{"name": "T", "properties": {
+            "@id": "<https://ex.org/kg/data/T/{id}>",
+            "p": "{org | reconcile('orgname')}",
+            "q": "{org2 | reconcile('orgname2')}",
+        }}],
+    }
+    engine = MapperEngine(MappingSpec(spec_dict, auto_declare=False),
+                          reconcile_transport=transport)
+    quads = quads_of_df(engine.apply(rows_to_df(spark, [
+        {"id": "1", "org": "acme", "org2": "acme"},      # overlap
+        {"id": "2", "org": "globex", "org2": "initech"},
+    ]), file_name="file"))
+    queried = [q["query"] for q in _queries_logged(log)]
+    assert sorted(queried) == ["acme", "globex", "initech"], queried
+    # cached verdicts still resolve at the second site
+    objs = {(x.s.value, x.p): x.o.value for x in quads}
+    assert objs[(_BASE + "/data/T/1", _BASE + "/def/p")] == \
+        "http://kg.example.org/entity/acme"
+    assert objs[(_BASE + "/data/T/1", _BASE + "/def/q")] == \
+        "http://kg.example.org/entity/acme"
+    # unmatched cached key -> per-site proxy (namespaced by call-site name)
+    assert objs[(_BASE + "/data/T/2", _BASE + "/def/q")] == (
+        _BASE + "/data/orgname2/" + _sha1_b32hex("initech" + SKOS + "Concept")
+    )
+
+
+def test_reconcile_cache_distinct_keytype_not_shared(spark, tmp_path):
+    """Different reconciliation type -> different cache slot -> re-query."""
+    transport, log = _transport(tmp_path)
+    spec_dict = {
+        "globals": {"$datasetBase": _BASE,
+                    "$reconciliationAPI": "http://svc/reconcile"},
+        "namespaces": {"t": "http://t/"},
+        "resources": [{"name": "T", "properties": {
+            "@id": "<https://ex.org/kg/data/T/{id}>",
+            "p": "{org | reconcile('a')}",
+            "q": "{org | reconcile('b', 't:Org')}",
+        }}],
+    }
+    engine = MapperEngine(MappingSpec(spec_dict, auto_declare=False),
+                          reconcile_transport=transport)
+    engine.apply(rows_to_df(spark, [{"id": "1", "org": "acme"}]),
+                 file_name="file").count()
+    calls = _queries_logged(log)
+    assert len([c for c in calls if c["query"] == "acme"]) == 2
+    types = {json.dumps(c.get("type")) for c in calls}
+    assert len(types) == 2  # one untyped, one t:Org
+
+
+def test_reconcile_broadcast_join_path(spark, monkeypatch):
+    """Above _RECONCILE_BROADCAST_MIN resolved keys the lookup compiles to
+    a left BroadcastHashJoin, not a closure UDF; values unchanged."""
+    from rdf_mapper_spark.compiler import resources as res_mod
+
+    alias_map = {
+        "acme": "http://local.example/acme",
+        "globex": "http://local.example/globex",
+        "hooli": "http://local.example/hooli",
+    }
+    rows = [{"id": "1", "org": "acme"}, {"id": "2", "org": "globex"},
+            {"id": "3", "org": "unknowncorp"}]
+
+    def run():
+        spec_dict = {
+            "globals": {"$datasetBase": _BASE},
+            "resources": [{"name": "T", "properties": {
+                "@id": "<https://ex.org/kg/data/T/{id}>",
+                "p": "{org | reconcile('orgname')}",
+            }}],
+        }
+        engine = MapperEngine(MappingSpec(spec_dict, auto_declare=False),
+                              alias_map=alias_map)
+        return engine.apply(rows_to_df(spark, rows), file_name="file")
+
+    baseline = {(q.s.value, q.o.value) for q in quads_of_df(run())}
+    monkeypatch.setattr(res_mod, "_RECONCILE_BROADCAST_MIN", 1)
+    joined_df = run()
+    plan = joined_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert {(q.s.value, q.o.value) for q in quads_of_df(joined_df)} \
+        == baseline

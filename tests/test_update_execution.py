@@ -59,3 +59,55 @@ def test_update_is_idempotent(spark):
     store = apply_update_script(update, parse_turtle(_SEED))
     again = apply_update_script(update, store)
     assert canonical_quadset(again) == canonical_quadset(store)
+
+
+def test_row_templated_graphadd_preserved_in_executed_update(spark):
+    """@graphAdd whose graph IRI is a per-row column: the preserved set is
+    derived from the output's distinct g (resolve_preserved_graphs), so the
+    executed update APPENDS to those graphs instead of dropping them."""
+    spec = MappingSpec({
+        "globals": {"$datasetBase": "http://example.com"},
+        "resources": [{
+            "name": "T",
+            "@graphAdd": "<http://example.com/graph/{region}>",
+            "properties": {
+                "@id": "<http://example.com/{id}>",
+                "p": "{v}",
+            },
+        }],
+    }, auto_declare=False)
+    engine = MapperEngine(spec)
+    q = engine.apply(rows_to_df(spark, [
+        {"id": "1", "region": "eu", "v": "a"},
+        {"id": "2", "region": "us", "v": "b"},
+    ]), file_name="file")
+    preserved = engine.resolve_preserved_graphs()
+    assert preserved == {"http://example.com/graph/eu",
+                         "http://example.com/graph/us"}
+
+    seed = """
+@prefix ex: <http://example.com/> .
+ex:graph\\/eu { ex:seeded ex:p "keep" . }
+ex:other { ex:dropme ex:p "gone" . }
+"""
+    # seed graphs via explicit IRIs (prefix escaping of '/' is awkward)
+    seed = seed.replace("ex:graph\\/eu", "<http://example.com/graph/eu>")
+    store = parse_turtle(seed)
+    update = sparql_update_script(q, preserved, _NS)
+    store = apply_update_script(update, store)
+
+    # hand-built expectation: eu graph = seeded triple + generated triple;
+    # us graph = generated triple; non-preserved, non-output 'other' graph
+    # is untouched by the update script (only OUTPUT graphs are dropped)
+    expected = parse_turtle("""
+@prefix ex: <http://example.com/> .
+<http://example.com/graph/eu> {
+  ex:seeded ex:p "keep" .
+  <http://example.com/1> <http://example.com/def/p> "a" .
+}
+<http://example.com/graph/us> {
+  <http://example.com/2> <http://example.com/def/p> "b" .
+}
+ex:other { ex:dropme ex:p "gone" . }
+""")
+    assert canonical_quadset(store) == canonical_quadset(expected)
