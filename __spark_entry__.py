@@ -906,8 +906,10 @@ SELECT qid, rank, neighbor FROM scored WHERE rank <= 10
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH ANN (seeded hyperplanes; each query probes its
-    bucket + all 1-bit-flip buckets) — approximate by design, so no SQL
+    """Multi-TABLE multi-probe LSH ANN: L seeded hyperplane sets union
+    their candidates (miss prob p -> p^L; recall@10 >= 0.6 asserted in
+    tests/test_ann_recall.py), each query probing its bucket + all
+    1-bit-flip buckets per table — approximate by design, so no SQL
     oracle; rows-only check documents the scale path."""
     from rdf_mapper_spark.ops.similarity import lsh_topk
 
@@ -915,7 +917,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(emb, queries, k=10, dim=_EMB_DIM)
+    return lsh_topk(emb, queries, k=10, dim=_EMB_DIM, n_tables=4)
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -137,3 +137,100 @@ def trig_string(quads: DataFrame, namespaces: dict[str, str] | None = None) -> s
         out.append(_graph_block(qs, prefixes))
         out.append("}")
     return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# Writer interface: parquet today, Iceberg MERGE-per-graph at scale
+# ---------------------------------------------------------------------------
+class QuadSink:
+    """Sink interface for the quad table (reference K1-K4 write modes).
+
+    Implementations own the graph-replacement semantics: a run REPLACES
+    every non-preserved graph it outputs (reference DROP GRAPH + INSERT,
+    template_processor.py:72-82) and APPENDS-as-a-set to preserved
+    (@graphAdd) graphs."""
+
+    def write(self, quads: DataFrame) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class ParquetGraphSink(QuadSink):
+    """Partitioned-parquet materialization (the sandbox/production-default
+    path): dynamic partition overwrite == per-graph replace."""
+
+    def __init__(self, path: str, mode: str = "overwrite") -> None:
+        self.path = path
+        self.mode = mode
+
+    def write(self, quads: DataFrame) -> None:
+        write_graph_tables(quads, self.path, self.mode)
+
+
+class IcebergMergeSink(QuadSink):
+    """Iceberg catalog-table sink: one MERGE per output graph.
+
+    BASELINE.md mandates Iceberg checkpoints at cluster scale; this sink
+    generates the per-graph statements —
+
+      * non-preserved output graph: ``DELETE FROM t WHERE g <=> '<g>'``
+        (DROP GRAPH) followed by a MERGE that inserts all of the graph's
+        quads;
+      * preserved (@graphAdd) graph: MERGE only — ``WHEN NOT MATCHED THEN
+        INSERT`` on the full quad identity gives RDF *set-union* append,
+        idempotent under replay/resume (same guarantee the parquet path
+        gets from dedup + overwrite).
+
+    The sandbox has no Iceberg runtime, so ``statements()`` exposes the
+    generated SQL for text-level verification; ``write()`` executes them
+    via ``spark.sql`` when a catalog provides the table.  Untouched graphs
+    are never scanned or rewritten: each statement is pinned to one graph
+    value, which Iceberg prunes to that partition's files.
+    """
+
+    _QUAD_ID = ("sk", "s", "p", "ok", "o", "odt", "olg")
+
+    def __init__(self, table: str,
+                 preserved_graphs: set[str] | None = None,
+                 staging_view: str = "__quads_staging") -> None:
+        self.table = table
+        self.preserved_graphs = set(preserved_graphs or ())
+        self.staging_view = staging_view
+
+    def _graph_literal(self, g: str | None) -> str:
+        if g is None:
+            return "NULL"
+        return "'" + g.replace("'", "''") + "'"
+
+    def statements(self, quads: DataFrame) -> list[str]:
+        """Per-graph DELETE/MERGE statements for this run's output.
+
+        The distinct-graph set is dictionary-sized by construction (one
+        row per graph IRI), so the driver collect is bounded."""
+        graphs = sorted(
+            (r.g for r in quads.select("g").distinct().collect()),
+            key=lambda g: (g is not None, g),
+        )
+        out: list[str] = []
+        for g in graphs:
+            lit = self._graph_literal(g)
+            g_match = f"t.g <=> {lit}"
+            if g is not None and g not in self.preserved_graphs:
+                out.append(f"DELETE FROM {self.table} WHERE {g_match}")
+            on = " AND ".join(
+                [g_match] + [f"t.{c} <=> s.{c}" for c in self._QUAD_ID]
+            )
+            out.append(
+                f"MERGE INTO {self.table} t\n"
+                f"USING (SELECT * FROM {self.staging_view} "
+                f"WHERE g <=> {lit}) s\n"
+                f"ON {on}\n"
+                f"WHEN NOT MATCHED THEN INSERT *"
+            )
+        return out
+
+    def write(self, quads: DataFrame) -> None:  # pragma: no cover
+        # requires an Iceberg catalog in the session; not available in the
+        # sandbox — statements() is the tested surface
+        quads.createOrReplaceTempView(self.staging_view)
+        for stmt in self.statements(quads):
+            quads.sparkSession.sql(stmt)

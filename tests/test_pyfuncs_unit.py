@@ -126,3 +126,32 @@ def test_property_listify_and_merge():
     assert merged.globals["$datasetID"] == "y"
     assert merged.globals["k"] == 1
     assert merged.mappings == {"m": {"a": "2"}, "n": {"b": "3"}}
+
+
+def test_parse_datetime_beyond_format_table():
+    """Formats outside _DT_FORMATS parse via the dateutil-backed pandas
+    fallback even without the `dates` extra (pyproject optional dependency
+    `dateparser`); with dateparser installed the same inputs go through it
+    (reference function.py:81-106 relies on dateparser's open parsing)."""
+    import datetime as dt
+
+    from rdf_mapper_spark.pyfuncs import parse_datetime
+
+    assert parse_datetime("3rd of May 2021") == dt.datetime(2021, 5, 3)
+    assert parse_datetime("May 3, 2021 4:15pm") == \
+        dt.datetime(2021, 5, 3, 16, 15)
+    assert parse_datetime("not a date at all") is None
+
+
+def test_parse_datetime_dateparser_parity():
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("dateparser") is None:
+        pytest.skip("dateparser not installed (optional `dates` extra)")
+    import datetime as dt
+
+    from rdf_mapper_spark.pyfuncs import parse_datetime
+
+    assert parse_datetime("3rd of May 2021") == dt.datetime(2021, 5, 3)
