@@ -95,7 +95,7 @@ def main() -> None:
     # capability — not neighbor contention — is the number that transfers;
     # run_pipeline unpersists its caches so trials are independent
     trial_secs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         metrics = run_pipeline(spark, pages, aliases, workdir=None,
                                materialize=False)
