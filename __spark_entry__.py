@@ -905,19 +905,76 @@ SELECT qid, rank, neighbor FROM scored WHERE rank <= 10
 """
 
 
+_ANN_LSH_PLANES = 6
+_ANN_LSH_TABLES = 4
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-TABLE multi-probe LSH ANN: L seeded hyperplane sets union
     their candidates (miss prob p -> p^L; recall@10 >= 0.6 asserted in
-    tests/test_ann_recall.py), each query probing its bucket + all
-    1-bit-flip buckets per table — approximate by design, so no SQL
-    oracle; rows-only check documents the scale path."""
+    tests/test_ann_recall.py, measured 0.95 at L=4), each query probing
+    its bucket + all 1-bit-flip buckets per table.  The hyperplanes are
+    seeded driver-side constants, so the WHOLE approximate pipeline is
+    value-checked against DuckDB (planes embedded as SQL literals)."""
     from rdf_mapper_spark.ops.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(emb, queries, k=10, dim=_EMB_DIM, n_tables=4)
+    return lsh_topk(emb, queries, k=10, dim=_EMB_DIM,
+                    n_planes=_ANN_LSH_PLANES, n_tables=_ANN_LSH_TABLES
+                    ).select("qid", "rank", "neighbor")
+
+
+def _oracle_ann_lsh() -> str:
+    """DuckDB mirror of lsh_topk: same seeded hyperplanes as literals,
+    same table-namespaced bucket keys, 1-bit-flip multiprobe, candidate
+    dedup, rounded-cosine ranking."""
+    from rdf_mapper_spark.ops.similarity import hyperplanes
+
+    n_planes, n_tables = _ANN_LSH_PLANES, _ANN_LSH_TABLES
+    width = 1 << n_planes
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = hyperplanes(_EMB_DIM, n_planes, 42 + 7919 * t)
+        bits = " + ".join(
+            "CASE WHEN list_inner_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + f"]) >= 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+        bucket_cols.append(f"({bits}) bt{t}")
+    ek = "\nUNION ALL ".join(
+        f"SELECT id, v, bt{t} + {t * width} k FROM b"
+        for t in range(n_tables)
+    )
+    qk_rows = []
+    for t in range(n_tables):
+        qk_rows.append(f"SELECT qid, qv, bt{t} + {t * width} k FROM q")
+        for i in range(n_planes):
+            qk_rows.append(
+                f"SELECT qid, qv, xor(bt{t}, {1 << i}) + {t * width} k FROM q"
+            )
+    qk = "\nUNION ALL ".join(qk_rows)
+    cos = ("list_inner_product(v, qv) / (sqrt(list_inner_product(v, v)) * "
+           "sqrt(list_inner_product(qv, qv)))")
+    return f"""
+WITH t AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+b AS (SELECT id, v, {", ".join(bucket_cols)} FROM t),
+ek AS ({ek}),
+q AS (SELECT id qid, v qv, {", ".join(f"bt{t}" for t in range(n_tables))}
+      FROM b WHERE id < 5),
+qk AS ({qk}),
+cand AS (SELECT DISTINCT qk.qid, e.id neighbor, e.v, qk.qv
+         FROM ek e JOIN qk ON e.k = qk.k AND e.id <> qk.qid),
+scored AS (
+  SELECT qid, neighbor,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ROUND({cos}, 4) DESC, neighbor ASC) rank
+  FROM cand)
+SELECT qid, rank, neighbor FROM scored WHERE rank <= 10
+"""
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,7 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _oracle_dedup_simhash(),
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "ann_topk": _oracle_ann_topk(),
-        # ann_lsh: rows-only (approximate by design)
+        "ann_lsh": _oracle_ann_lsh(),
         "text_analysis": _oracle_text_analysis(),
         "multimodal_features": _oracle_multimodal_features(),
         "multimodal_frames": _oracle_multimodal_frames(),
