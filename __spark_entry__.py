@@ -2,10 +2,13 @@
 
 `entry` runs the flagship KG mapping; `queries` exposes one entry per
 implemented operator family (SURVEY.md §2 + the training-data operators);
-`oracle_sql` gives the DuckDB-equivalent SQL for everything SQL can express
-(md5-based hashing keeps even MinHash/LSH oracle-checkable). Ops that SQL
-cannot express (xxhash-based SimHash, mapInPandas multimodal features,
-deterministic base32hex-SHA1 IRI minting) are rows-only by design.
+`oracle_sql` gives the DuckDB-equivalent SQL for EVERY query — zero
+rows-only entries: md5-based hash variants keep MinHash/LSH, SimHash and
+IRI minting oracle-checkable, seeded hyperplanes embedded as SQL literals
+mirror even the approximate ANN pipeline, and multimodal features project
+to integer fingerprints DuckDB recomputes.  (Production paths may swap
+faster non-SQL hashes — xxhash64 SimHash, sha1-base32hex minting — which
+dedicated pytest parity vectors cover instead.)
 """
 
 from __future__ import annotations
@@ -1003,6 +1006,9 @@ q AS (SELECT *,
   FROM v)
 SELECT doc_id,
   n_tok AS n_tokens,
+  len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'
+  )) AS n_tokens_bpe,
   CASE WHEN greatest(en_c, fr_c, de_c) = 0 THEN 'und'
        WHEN de_c > (CASE WHEN fr_c > en_c THEN fr_c ELSE en_c END) THEN 'de'
        WHEN fr_c > en_c THEN 'fr' ELSE 'en' END AS lang_guess,
@@ -1014,6 +1020,41 @@ SELECT doc_id,
   ) / 3.0, 4) AS quality,
   md5(array_to_string(toks, ' ')) AS fp
 FROM q
+"""
+
+
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash window) fingerprints, exploded to scalar
+    (doc_id, fp) rows — any shared >= k+w-1-token run between documents
+    yields a shared fp (plagiarism/near-dup passage detection)."""
+    from rdf_mapper_spark.ops.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(
+            F.col("text"), k=_WINNOW_K, w=_WINNOW_W)).alias("fp"),
+    )
+
+
+def _oracle_text_winnow() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+WITH t AS (SELECT doc_id id, string_split(text, ' ') toks FROM documents),
+g AS (SELECT id, list_transform(
+        generate_series(1, greatest(len(toks) - {k - 1}, 0)),
+        i -> array_to_string(toks[i:i+{k - 1}], ' ')) grams FROM t),
+h AS (SELECT id, list_transform(
+        grams, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) hs FROM g),
+wn AS (SELECT id, list_distinct(list_transform(
+        generate_series(1, greatest(len(hs) - {w - 1}, 1)),
+        i -> list_min(hs[i:i+{w - 1}]))) fps
+       FROM h WHERE len(hs) > 0)
+SELECT id doc_id, unnest(fps) fp FROM wn
 """
 
 
@@ -1120,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "text_analysis": q_text_analysis,
+        "text_winnow": q_text_winnow,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
     }
@@ -1153,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _oracle_ann_topk(),
         "ann_lsh": _oracle_ann_lsh(),
         "text_analysis": _oracle_text_analysis(),
+        "text_winnow": _oracle_text_winnow(),
         "multimodal_features": _oracle_multimodal_features(),
         "multimodal_frames": _oracle_multimodal_frames(),
     }

@@ -109,11 +109,50 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(tokens_col(text), " "))
 
 
+#: GPT-2-style pre-tokenizer pieces (contractions, letter runs, digit runs,
+#: punctuation runs — each with its optional leading space).  Deliberately
+#: lookaround-free so the SAME pattern runs in Java regex (Spark, codegen)
+#: and RE2 (DuckDB oracle) with identical matches.
+BPE_SPLIT_RX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """LLM-token-cost estimate: count of BPE pre-tokenizer pieces.
+
+    Every true BPE token boundary falls on a pre-token boundary, so this
+    lower-bounds and strongly correlates with real tokenizer counts
+    without shipping a merges table to executors.  Pure JVM regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RX), F.lit(0)))
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer et al., MOSS): the min hash of
+    every w-window over the rolling k-token shingle hashes; distinct mins
+    are the document's fingerprints -> array<bigint>.
+
+    Guarantees of the scheme: any shared run of >= k+w-1 tokens between two
+    documents yields at least one shared fingerprint, and per-doc output is
+    ~n/w values.  O(len) per row, pure Column expressions (whole-stage
+    codegen); hashes are md5/60-bit so the operator is value-checkable in
+    DuckDB."""
+    grams = ngrams_col(tokens_col(text), k)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    n = F.size(hashes)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(1)))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.when(n > 0, F.array_distinct(mins)) \
+        .otherwise(F.array().cast("array<bigint>"))
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
+        bpe_token_estimate(t).alias("n_tokens_bpe"),
         lang_id(t).alias("lang_guess"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),

@@ -380,3 +380,43 @@ def test_hash_digest_md5hex_option(spark):
     _, q_sha = _apply(spark, spec, rows)
     subj_sha = [r.s for r in q_sha.collect()]
     assert subj_sha == [f"http://example.com/data/T/{sha1_b32hex('hello')}"]
+
+
+def test_bpe_token_estimate(spark):
+    from rdf_mapper_spark.ops.text import bpe_token_estimate
+
+    df = spark.createDataFrame(
+        [(1, "Hello world's 42 cats, don't!"), (2, ""), (3, "one")],
+        ["id", "t"])
+    got = {r.id: r.n for r in df.select(
+        "id", bpe_token_estimate(F.col("t")).alias("n")).collect()}
+    # Hello | world | 's | 42 | cats | , | don | 't | !
+    assert got == {1: 9, 2: 0, 3: 1}
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing: documents sharing a run of >= k+w-1 tokens share at
+    least one fingerprint; disjoint docs share none."""
+    from rdf_mapper_spark.ops.text import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1
+    docs = spark.createDataFrame([
+        (1, "intro words here " + shared + " trailing content one"),
+        (2, "completely different prefix " + shared),
+        (3, "nothing in common with those other documents at all ok"),
+    ], ["doc_id", "t"])
+    fps = {r.doc_id: set(r.fps) for r in docs.select(
+        "doc_id",
+        winnow_fingerprints(F.col("t"), k=k, w=w).alias("fps")).collect()}
+    assert fps[1] & fps[2], "shared k+w-1 run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+    # short docs (< k tokens) produce no fingerprints; k<=len<k+w-1 produce 1
+    tiny = spark.createDataFrame([(1, "a b c"), (2, "a b c d e f")],
+                                 ["doc_id", "t"])
+    tf = {r.doc_id: r.fps for r in tiny.select(
+        "doc_id",
+        winnow_fingerprints(F.col("t"), k=k, w=w).alias("fps")).collect()}
+    assert tf[1] == []
+    assert len(tf[2]) == 1
