@@ -987,21 +987,37 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_text_analysis() -> str:
-    en = "['the','a','of','and','to','in','is','it','that']"
-    fr = "['le','la','de','et','un','une','est','que','les']"
-    de = "['der','die','das','und','ein','ist','zu','den','von']"
-    votes = (
-        f"len(list_filter(toks, t -> list_contains({en}, t))) en_c, "
-        f"len(list_filter(toks, t -> list_contains({fr}, t))) fr_c, "
-        f"len(list_filter(toks, t -> list_contains({de}, t))) de_c"
+    from rdf_mapper_spark.ops.text import STOPWORDS, TRIGRAMS
+
+    def lst(xs):
+        return "[" + ",".join(f"'{x}'" for x in xs) + "]"
+
+    votes = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({lst(ws)}, t))) {l}_c"
+        for l, ws in STOPWORDS.items()
+    )
+    gvotes = ", ".join(
+        f"len(list_filter(grams, g -> list_contains({lst(tg)}, g))) {l}_g"
+        for l, tg in TRIGRAMS.items()
+    )
+    argmax = (
+        "CASE WHEN greatest(en_{s}, fr_{s}, de_{s}) = 0 THEN 'und' "
+        "WHEN de_{s} > (CASE WHEN fr_{s} > en_{s} THEN fr_{s} ELSE en_{s} "
+        "END) THEN 'de' WHEN fr_{s} > en_{s} THEN 'fr' ELSE 'en' END"
     )
     return f"""
-WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents),
-v AS (SELECT doc_id, text, toks, {votes} FROM t),
+WITH t AS (SELECT doc_id, text, string_split(text,' ') toks,
+  list_transform(generate_series(1, greatest(length(lower(text)) - 2, 0)),
+                 i -> substr(lower(text), i, 3)) grams
+  FROM documents),
+v AS (SELECT doc_id, text, toks, {votes}, {gvotes} FROM t),
 q AS (SELECT *,
   len(toks) n_tok,
   length(text) n,
   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) alpha,
+  length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) punct,
+  len(list_filter(toks, t -> list_contains(
+      {lst(STOPWORDS["en"])}, t))) sw_en,
   list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) mean_wl
   FROM v)
 SELECT doc_id,
@@ -1009,15 +1025,18 @@ SELECT doc_id,
   len(regexp_extract_all(text,
       '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'
   )) AS n_tokens_bpe,
-  CASE WHEN greatest(en_c, fr_c, de_c) = 0 THEN 'und'
-       WHEN de_c > (CASE WHEN fr_c > en_c THEN fr_c ELSE en_c END) THEN 'de'
-       WHEN fr_c > en_c THEN 'fr' ELSE 'en' END AS lang_guess,
+  {argmax.format(s="c")} AS lang_guess,
+  {argmax.format(s="g")} AS lang_guess_ngram,
   ROUND((
     (CASE WHEN n_tok >= 20 AND n_tok <= 100000 THEN 1.0
           WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
     + (CASE WHEN n > 0 THEN alpha * 1.0 / n ELSE 0.0 END)
     + (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0 THEN 1.0 ELSE 0.3 END)
   ) / 3.0, 4) AS quality,
+  ROUND(CASE WHEN n_tok > 0 THEN sw_en * 1.0 / n_tok ELSE 0.0 END, 4)
+    AS stopword_ratio_en,
+  ROUND(CASE WHEN n > 0 THEN punct * 1.0 / n ELSE 0.0 END, 4)
+    AS punct_ratio,
   md5(array_to_string(toks, ' ')) AS fp
 FROM q
 """

@@ -57,13 +57,8 @@ def _isin_fn(words: list[str]):
     return lambda t: t.isin(words)
 
 
-def lang_id(text: Column) -> Column:
-    """Stopword-vote language guess; 'und' when nothing matches."""
-    toks = tokens_col(text)
-    votes = {
-        lang: F.size(F.filter(toks, _isin_fn(list(ws))))
-        for lang, ws in STOPWORDS.items()
-    }
+def _vote_argmax(votes: dict[str, Column]) -> Column:
+    """Deterministic argmax over per-language vote columns ('und' on 0)."""
     best = None
     best_count = None
     for lang, cnt in votes.items():
@@ -74,6 +69,55 @@ def lang_id(text: Column) -> Column:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_count = F.when(cond, cnt).otherwise(best_count)
     return F.when(best_count > 0, best).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language guess; 'und' when nothing matches."""
+    toks = tokens_col(text)
+    votes = {
+        lang: F.size(F.filter(toks, _isin_fn(list(ws))))
+        for lang, ws in STOPWORDS.items()
+    }
+    return _vote_argmax(votes)
+
+
+#: tiny per-language character-trigram profiles for the n-gram heuristic
+TRIGRAMS = {
+    "en": ["the", "and", "ing", "ion", "ent", "tio", "for", "hat"],
+    "fr": ["les", "ent", "que", "des", "une", "ait", "eur", "oir"],
+    "de": ["der", "die", "und", "ein", "sch", "ich", "den", "ung"],
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """All overlapping 3-char windows of the lowercased text — O(len),
+    pure Columns (sequence + substr inside whole-stage codegen)."""
+    t = F.lower(text)
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
+    )
+    return F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
+
+
+def lang_id_ngram(text: Column) -> Column:
+    """Character-n-gram language vote: count profile-trigram hits per
+    language, argmax (the classical n-gram LID heuristic, complementing
+    the token-level stopword vote in `lang_id`)."""
+    grams = char_trigrams(text)
+    votes = {
+        lang: F.size(F.filter(grams, _isin_fn(list(tg))))
+        for lang, tg in TRIGRAMS.items()
+    }
+    return _vote_argmax(votes)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither letter/digit/whitespace."""
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")) \
+        .otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column) -> Column:
@@ -154,6 +198,9 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         token_count(t).alias("n_tokens"),
         bpe_token_estimate(t).alias("n_tokens_bpe"),
         lang_id(t).alias("lang_guess"),
+        lang_id_ngram(t).alias("lang_guess_ngram"),
         quality_score(t).alias("quality"),
+        F.round(stopword_ratio(t, "en"), 4).alias("stopword_ratio_en"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
         fingerprint(t).alias("fp"),
     )

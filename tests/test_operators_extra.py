@@ -420,3 +420,23 @@ def test_winnow_shared_run_guarantee(spark):
         winnow_fingerprints(F.col("t"), k=k, w=w).alias("fps")).collect()}
     assert tf[1] == []
     assert len(tf[2]) == 1
+
+
+def test_lang_id_ngram_and_ratios(spark):
+    from rdf_mapper_spark.ops.text import lang_id_ngram, punct_ratio
+
+    df = spark.createDataFrame([
+        (1, "the cat and the dog are sitting for the information"),
+        (2, "les questions des unespace ait une eur"),
+        (3, "der schnelle und die schoene einung ich den"),
+        (4, "zz"),
+        (5, "a,b,c!"),
+    ], ["id", "t"])
+    langs = {r.id: r.l for r in df.select(
+        "id", lang_id_ngram(F.col("t")).alias("l")).collect()}
+    assert langs[1] == "en" and langs[2] == "fr" and langs[3] == "de"
+    assert langs[4] == "und"  # too short for any profile hit
+    ratios = {r.id: r.p for r in df.select(
+        "id", punct_ratio(F.col("t")).alias("p")).collect()}
+    assert ratios[5] == 0.5  # 3 punct chars of 6
+    assert ratios[4] == 0.0
