@@ -103,3 +103,25 @@ def test_embedding_near_dups_is_not_cartesian(spark):
     plan = _formatted_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_ops_no_python_no_shuffle(spark):
+    """analyze_documents + winnow fingerprints are map-only JVM plans: no
+    *EvalPython (would mean a Python worker round-trip per batch) and no
+    Exchange (a shuffle in a per-row projection would be a planning bug)."""
+    from pyspark.sql import functions as F
+
+    from rdf_mapper_spark.ops.text import analyze_documents, winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, f"some sample text number {i} with words") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    for df in (
+        analyze_documents(docs),
+        docs.select("doc_id",
+                    F.explode(winnow_fingerprints(F.col("text"))).alias("fp")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan
+        assert "Exchange" not in plan, plan
