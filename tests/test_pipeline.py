@@ -142,3 +142,38 @@ def test_resume_invalidated_by_changed_inputs(spark, tmp_path):
                       materialize=False)
     assert not any(v.get("resumed") for v in m2["stages"].values()), \
         m2["stages"]
+
+
+def test_jvm_extractor_matches_reference_fuzz(spark):
+    """JVM extract_text_col vs the pure-Python reference on adversarial
+    valid-UTF-8 html: tag soup, nested script/style, comments, unicode
+    whitespace, unclosed tags."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (BinaryType, StructField, StructType)
+
+    from rdf_mapper_spark.pipeline.extract import extract_text, extract_text_col
+
+    frag = st.sampled_from([
+        "<p>", "</p>", "text", "mot cle", "<script>var x=1;</script>",
+        "<SCRIPT a=b>ignored</SCRIPT>", "<style>.c{}</style>",
+        "<!-- hidden -->", "<!--", "-->", "<div class='x'", ">", "<",
+        " ", " ", "  ", "\t", "café", "<br/>",
+        "<script>", "</script>", "&amp;",
+    ])
+    html_s = st.lists(frag, min_size=0, max_size=12).map("".join)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(html_s, min_size=1, max_size=6))
+    def run(docs):
+        rows = [(d.encode("utf-8"),) for d in docs]
+        df = spark.createDataFrame(
+            rows, StructType([StructField("html", BinaryType())]))
+        got = [r.e for r in df.select(
+            extract_text_col(F.col("html")).alias("e")).collect()]
+        want = [extract_text(d.encode("utf-8")) for d in docs]
+        assert got == want
+
+    run()
