@@ -918,7 +918,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_recall.py, measured 0.95 at L=4), each query probing
     its bucket + all 1-bit-flip buckets per table.  The hyperplanes are
     seeded driver-side constants, so the WHOLE approximate pipeline is
-    value-checked against DuckDB (planes embedded as SQL literals)."""
+    value-checked against DuckDB (planes embedded as SQL literals).
+
+    Bench note: most of this query's wall time at sandbox scale is
+    DRIVER-side Catalyst analysis of the 24x64-literal plane tree — a
+    per-plan constant independent of table size; the executed side is a
+    bucket-pruned hash join (at 100 TB the bucket keys are stored
+    partition columns and the plane tree compiles once per job)."""
     from rdf_mapper_spark.ops.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")

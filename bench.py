@@ -114,7 +114,8 @@ def main() -> None:
     headline = [
         "kg_flagship", "kg_typed_literals", "dedup_minhash_buckets",
         "dedup_simhash", "embedding_near_dups",
-        "pricing_summary", "segment_revenue", "ann_topk", "text_analysis",
+        "pricing_summary", "segment_revenue", "ann_topk", "ann_lsh",
+        "text_analysis", "text_winnow",
     ]
     queries = entry_mod.queries()
     for name in headline:
