@@ -986,6 +986,59 @@ SELECT qid, rank, neighbor FROM scored WHERE rank <= 10
 """
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the inverted-file scale path, complementing LSH):
+    one stored cell id per vector, queries probe their nprobe best cells,
+    exact scoring within — expected scan fraction nprobe/n_cells.  The
+    seeded codebook is a driver constant, so the whole approximate
+    pipeline is value-checked against DuckDB."""
+    from rdf_mapper_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=_IVF_CELLS,
+                    nprobe=_IVF_NPROBE, dim=_EMB_DIM
+                    ).select("qid", "rank", "neighbor")
+
+
+def _oracle_ann_ivf() -> str:
+    from rdf_mapper_spark.ops.similarity import centroids
+
+    cells = centroids(_EMB_DIM, _IVF_CELLS, 7)
+    dots = ("[" + ", ".join(
+        "list_inner_product(v, [" + ", ".join(repr(x) for x in c) + "])"
+        for c in cells
+    ) + "]")
+    cos = ("list_inner_product(v, qv) / (sqrt(list_inner_product(v, v)) * "
+           "sqrt(list_inner_product(qv, qv)))")
+    return f"""
+WITH t AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+d AS (SELECT id, v, {dots} dots FROM t),
+e AS (SELECT id, v, list_position(dots, list_max(dots)) cell FROM d),
+q AS (SELECT id qid, v qv, dots FROM d WHERE id < 5),
+pr AS (SELECT qid, qv, i, list_extract(dots, i::INTEGER) dd
+       FROM q, range(1, {_IVF_CELLS + 1}) r(i)),
+probes AS (SELECT qid, qv, i::INTEGER cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dd DESC, i ASC) rk FROM pr)
+  WHERE rk <= {_IVF_NPROBE}),
+cand AS (SELECT p.qid, e.id neighbor, e.v, p.qv
+         FROM e JOIN probes p ON e.cell = p.cell AND e.id <> p.qid),
+scored AS (
+  SELECT qid, neighbor,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ROUND({cos}, 4) DESC, neighbor ASC) rank
+  FROM cand)
+SELECT qid, rank, neighbor FROM scored WHERE rank <= 10
+"""
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_mapper_spark.ops.text import analyze_documents
 
@@ -1185,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_analysis": q_text_analysis,
         "text_winnow": q_text_winnow,
         "multimodal_features": q_multimodal_features,
@@ -1219,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "ann_topk": _oracle_ann_topk(),
         "ann_lsh": _oracle_ann_lsh(),
+        "ann_ivf": _oracle_ann_ivf(),
         "text_analysis": _oracle_text_analysis(),
         "text_winnow": _oracle_text_winnow(),
         "multimodal_features": _oracle_multimodal_features(),

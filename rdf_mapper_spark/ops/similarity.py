@@ -79,6 +79,85 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
+    """Seeded coarse-quantizer centroids (random Gaussian directions).
+
+    A trained k-means codebook drops in identically — the operator only
+    needs a deterministic list of vectors; random directions already give
+    the cell-pruning shape and keep the operator reproducible without a
+    training pass."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_cells)]
+
+
+def _cell_dots(vec: Column, cells: list[list[float]]) -> Column:
+    return F.array(*[
+        dot_expr(vec, F.array(*[F.lit(float(x)) for x in c])) for c in cells
+    ])
+
+
+def ivf_cell_expr(vec: Column, cells: list[list[float]]) -> Column:
+    """1-based index of the best-scoring (max dot product) centroid;
+    first-max tie-break — deterministic and SQL-mirrorable."""
+    dots = _cell_dots(vec, cells)
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_probe_expr(vec: Column, cells: list[list[float]],
+                   nprobe: int) -> Column:
+    """The nprobe best cells for a query: sort (-dot, index) structs —
+    float ordering is identical across engines — and take the head."""
+    dots = _cell_dots(vec, cells)
+    ranked = F.array_sort(F.transform(
+        F.sequence(F.lit(1), F.lit(len(cells))),
+        lambda i: F.struct((-F.element_at(dots, i)).alias("nd"),
+                           i.alias("idx")),
+    ))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["idx"])
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, nprobe: int = 4, dim: int | None = None,
+             seed: int = 7,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-style approximate top-k: the inverted-file scale path.
+
+    Every vector is assigned to its best coarse cell (ONE stored int —
+    unlike LSH's L bucket keys there is no index blow-up); each query
+    probes its ``nprobe`` best cells and scores exactly within them.
+    Expected scan fraction ~ nprobe/n_cells of the corpus.  At 100 TB the
+    cell id is the partition column, so a probe is partition pruning, and
+    the seeded random codebook is swapped for a trained k-means one
+    without touching the plan.  Probe fan-out multiplies only the (small,
+    broadcast) query side."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    cells = centroids(dim, n_cells, seed)
+    emb_c = embeddings.select(
+        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
+        ivf_cell_expr(F.col(vec_col), cells).alias("cell"),
+    )
+    q_c = queries.select(
+        "qid", "qvec",
+        F.explode(ivf_probe_expr(F.col("qvec"), cells, nprobe)).alias("cell"),
+    )
+    cand = emb_c.join(F.broadcast(q_c), "cell").where(
+        F.col("neighbor") != F.col("qid")
+    )
+    scored = cand.select(
+        "qid", "neighbor",
+        F.round(cosine_expr(F.col("v"), F.col("qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor", "cosine")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 6, dim: int | None = None, seed: int = 42,
              multiprobe: bool = True, n_tables: int = 4,

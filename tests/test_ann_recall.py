@@ -67,3 +67,37 @@ def test_multiprobe_no_duplicate_pairs(spark):
     rows = lsh_topk(emb, queries, k=20, n_planes=4, dim=16).collect()
     pairs = [(r.qid, r.neighbor) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_ivf_recall_and_pruning(spark):
+    """IVF: recall@10 vs the exact verifier at the shipped nprobe, and
+    probe-pruning actually prunes (fewer candidates than the corpus)."""
+    from pyspark.sql import functions as F
+
+    from rdf_mapper_spark.ops.similarity import (
+        centroids,
+        ivf_cell_expr,
+        ivf_topk,
+    )
+
+    emb, queries = _fixture(spark, n=300, dim=16, seed=31)
+    k = 10
+    exact = {(r.qid, r.neighbor)
+             for r in cosine_topk(emb, queries, k=k).collect()}
+    got = {(r.qid, r.neighbor)
+           for r in ivf_topk(emb, queries, k=k, n_cells=8, nprobe=4,
+                             dim=16).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, recall
+    # every vector lands in exactly one of the 8 cells; cells partition
+    cells = centroids(16, 8, 7)
+    dist = emb.select(
+        ivf_cell_expr(F.col("embedding"), cells).alias("c")
+    ).groupBy("c").count().collect()
+    assert sum(r["count"] for r in dist) == 300
+    assert 1 <= len(dist) <= 8
+    # nprobe = n_cells degenerates to exact (full scan, same top-k)
+    full = {(r.qid, r.neighbor)
+            for r in ivf_topk(emb, queries, k=k, n_cells=8, nprobe=8,
+                              dim=16).collect()}
+    assert full == exact
