@@ -1204,6 +1204,187 @@ WHERE doc_id % 3 = 2
 
 
 # ---------------------------------------------------------------------------
+# Corpus quality filter / canonical URLs / incremental KG delta
+# ---------------------------------------------------------------------------
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style keep/drop verdict per document with canonical reason
+    labels (rule set: ops/text.py quality_reasons). Pure projection —
+    at corpus scale this is a map-only stage the scan absorbs."""
+    from rdf_mapper_spark.ops.text import filter_documents
+
+    return filter_documents(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_quality_filter() -> str:
+    from rdf_mapper_spark.ops.text import STOPWORDS
+
+    sw = "[" + ",".join(f"'{x}'" for x in STOPWORDS["en"]) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents),
+m AS (SELECT doc_id,
+  len(toks) n_tok,
+  length(text) n,
+  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) alpha,
+  length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) punct,
+  len(list_filter(toks, t -> list_contains({sw}, t))) sw_en,
+  list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) mean_wl
+  FROM t),
+r AS (SELECT doc_id, COALESCE(array_to_string(list_filter([
+    CASE WHEN punct * 1.0 / n > 0.10 THEN 'high_punct' END,
+    CASE WHEN alpha * 1.0 / n < 0.80 THEN 'low_alpha' END,
+    CASE WHEN sw_en * 1.0 / n_tok < 0.03 THEN 'low_stopword' END,
+    CASE WHEN n_tok > 100000 THEN 'too_long' END,
+    CASE WHEN n_tok < 20 THEN 'too_short' END,
+    CASE WHEN mean_wl < 3.0 OR mean_wl > 12.0 THEN 'word_len' END
+  ], x -> x IS NOT NULL), ','), '') reasons FROM m)
+SELECT doc_id, reasons = '' AS keep, reasons FROM r
+"""
+
+
+def q_web_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: synthesize a deterministic messy URL per doc
+    (case-variant host, default port, duplicate slashes, tracking params,
+    unsorted query, fragment), normalize it (ops/web.py rules), and count
+    pages per canonical form. The normalization is a pure projection; the
+    groupBy is the only shuffle and its key is the canonical URL —
+    uniformly distributed at crawl scale."""
+    from rdf_mapper_spark.ops.web import normalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTP"),
+        F.when(doc_id % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://WWW.Site"), (doc_id % 5).cast("string"),
+        F.when(doc_id % 2 == 0, F.lit(".ORG:443")).otherwise(F.lit(".COM:80")),
+        F.lit("/a//b/"), (doc_id % 3).cast("string"),
+        F.when(doc_id % 3 == 0, F.lit("/?utm_source=x&b=2&a=1&fbclid=f"))
+        .when(doc_id % 3 == 1, F.lit("?z=9&y=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        d.select(doc_id.alias("doc_id"), normalize_url(raw).alias("url"))
+        .groupBy("url")
+        .agg(F.count("*").alias("n_pages"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+def _oracle_web_canonical_urls() -> str:
+    return r"""
+WITH u AS (SELECT doc_id,
+  'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END || '://WWW.Site' ||
+  CAST(doc_id % 5 AS VARCHAR) ||
+  CASE WHEN doc_id % 2 = 0 THEN '.ORG:443' ELSE '.COM:80' END ||
+  '/a//b/' || CAST(doc_id % 3 AS VARCHAR) ||
+  CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&b=2&a=1&fbclid=f'
+       WHEN doc_id % 3 = 1 THEN '?z=9&y=2&a=1' ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS raw
+  FROM documents),
+p1 AS (SELECT doc_id,
+  lower(regexp_extract(regexp_replace(raw, '#.*', ''),
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) scheme,
+  regexp_replace(regexp_replace(raw, '#.*', ''),
+                 '^[A-Za-z][A-Za-z0-9+.-]*://', '') rest FROM u),
+p2 AS (SELECT doc_id, scheme,
+  lower(regexp_extract(rest, '^([^/?]*)', 1)) hostport,
+  regexp_replace(rest, '^[^/?]*', '') pathq FROM p1),
+p3 AS (SELECT doc_id, scheme,
+  CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+       THEN substr(hostport, 1, length(hostport) - 3)
+       WHEN scheme = 'https' AND hostport LIKE '%:443'
+       THEN substr(hostport, 1, length(hostport) - 4)
+       ELSE hostport END host,
+  CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                           '/{2,}', '/', 'g') = '' THEN '/'
+       ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                           '/{2,}', '/', 'g') END path,
+  CASE WHEN contains(pathq, '?')
+       THEN regexp_replace(pathq, '^[^?]*\?', '') ELSE '' END query
+  FROM p2),
+p4 AS (SELECT doc_id, scheme, host, path,
+  COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+    x -> x <> '' AND NOT regexp_matches(x,
+      '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)='))), '&'),
+    '') qnorm
+  FROM p3)
+SELECT scheme || '://' || host || path ||
+       CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END AS url,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       MIN(doc_id) AS first_doc
+FROM p4 GROUP BY 1
+"""
+
+
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: quad-set delta between two crawl
+    snapshots in ONE shuffle (pipeline/incremental.py quad_delta).
+
+    Snapshots are derived deterministically from `documents`: the new
+    crawl drops doc_id % 10 == 3 (pages gone from the crawl) and changes
+    the text of doc_id % 7 == 2 (re-crawled content). Each snapshot emits
+    (doc -> textHash, doc -> language) triples; the delta is the SPARQL
+    update payload (add/delete) the sinks would ship — the reference
+    instead drops + rebuilds whole graphs per run
+    (/root/reference/src/rdf_mapper/lib/template_processor.py:72-97),
+    which cannot work at 10^12 documents."""
+    from rdf_mapper_spark.pipeline.incremental import quad_delta
+
+    d = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit(f"{KGB}/data/document/"),
+                    F.col("doc_id").cast("string"))
+
+    def snapshot(docs: DataFrame, text_col: str) -> DataFrame:
+        def triple(p: str, o: Column) -> DataFrame:
+            return docs.select(
+                F.lit(None).cast("string").alias("g"),
+                F.lit("iri").alias("sk"),
+                subj.alias("s"),
+                F.lit(p).alias("p"),
+                F.lit("literal").alias("ok"),
+                o.alias("o"),
+                F.lit(None).cast("string").alias("odt"),
+                F.lit(None).cast("string").alias("olg"),
+            )
+
+        return triple(f"{KGB}/def/textHash", F.md5(F.col(text_col))) \
+            .unionByName(triple(f"{KGB}/def/language", F.col("lang")))
+
+    old = snapshot(d, "text")
+    new_docs = d.where(F.col("doc_id") % 10 != 3).withColumn(
+        "text2",
+        F.when(F.col("doc_id") % 7 == 2,
+               F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")),
+    )
+    new = snapshot(new_docs, "text2")
+    return quad_delta(old, new).select("op", "s", "p", "o")
+
+
+def _oracle_kg_incremental() -> str:
+    subj = _doc_subject_sql()
+    return f"""
+WITH old AS (
+  SELECT {subj} s, '{KGB}/def/textHash' p, md5(text) o FROM documents
+  UNION ALL
+  SELECT {subj}, '{KGB}/def/language', lang FROM documents),
+new AS (
+  SELECT {subj} s, '{KGB}/def/textHash' p,
+         md5(CASE WHEN doc_id % 7 = 2 THEN text || ' updated' ELSE text END) o
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT {subj}, '{KGB}/def/language', lang
+  FROM documents WHERE doc_id % 10 <> 3),
+u AS (SELECT s, p, o, 1 src FROM old UNION ALL
+      SELECT s, p, o, 2 src FROM new),
+d AS (SELECT s, p, o, bool_or(src = 1) in_old, bool_or(src = 2) in_new
+      FROM u GROUP BY s, p, o)
+SELECT CASE WHEN in_new THEN 'add' ELSE 'delete' END op, s, p, o
+FROM d WHERE in_old <> in_new
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -1243,6 +1424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "quality_filter": q_quality_filter,
+        "web_canonical_urls": q_web_canonical_urls,
+        "kg_incremental": q_kg_incremental,
     }
 
 
@@ -1278,4 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow": _oracle_text_winnow(),
         "multimodal_features": _oracle_multimodal_features(),
         "multimodal_frames": _oracle_multimodal_frames(),
+        "quality_filter": _oracle_quality_filter(),
+        "web_canonical_urls": _oracle_web_canonical_urls(),
+        "kg_incremental": _oracle_kg_incremental(),
     }

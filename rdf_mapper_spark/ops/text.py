@@ -212,3 +212,59 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio(t), 4).alias("punct_ratio"),
         fingerprint(t).alias("fp"),
     )
+
+
+# Gopher-style corpus filter rule set: (label, threshold) pairs documented
+# here because the DuckDB oracle mirrors them independently.  Labels are
+# emitted in ALPHABETICAL order so the joined reason string is canonical:
+#   high_punct    punct_ratio > 0.10
+#   low_alpha     alpha chars / chars < 0.80
+#   low_stopword  en-stopword ratio < 0.03 (gibberish / non-language signal)
+#   too_long      n_tokens > 100_000
+#   too_short     n_tokens < 20
+#   word_len      mean word length outside [3, 12]
+def quality_reasons(text: Column, lang: str = "en") -> Column:
+    """Comma-joined sorted drop-reason labels; empty string = keep.
+
+    concat_ws skips null fragments, so each rule contributes its label or
+    null — the whole verdict is one codegen'd projection, no shuffle."""
+    toks = tokens_col(text)
+    n = F.length(text)
+    n_tok = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n.cast("double")) \
+        .otherwise(F.lit(0.0))
+    mean_wl = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    swr = stopword_ratio(text, lang)
+    pr = punct_ratio(text)
+
+    def rule(cond: Column, label: str) -> Column:
+        return F.when(cond, F.lit(label))
+
+    return F.concat_ws(
+        ",",
+        rule(pr > 0.10, "high_punct"),
+        rule(alpha_ratio < 0.80, "low_alpha"),
+        rule(swr < 0.03, "low_stopword"),
+        rule(n_tok > 100_000, "too_long"),
+        rule(n_tok < 20, "too_short"),
+        rule((mean_wl < 3.0) | (mean_wl > 12.0), "word_len"),
+    )
+
+
+def filter_documents(docs: DataFrame, text_col: str = "text",
+                     lang: str = "en") -> DataFrame:
+    """-> (doc_id, keep: boolean, reasons: string).  The corpus-filter
+    stage of a training-data pipeline; downstream consumers `WHERE keep`
+    (predicate pushes into the scan) and auditors group by reasons."""
+    reasons = quality_reasons(F.col(text_col), lang)
+    return docs.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

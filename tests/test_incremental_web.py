@@ -1,0 +1,90 @@
+"""Incremental quad delta (pipeline/incremental.py) and canonical URL
+normalization (ops/web.py)."""
+
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.ops.web import normalize_url
+from rdf_mapper_spark.pipeline.incremental import apply_delta, quad_delta
+from rdf_mapper_spark.quads import QUAD_FIELDS, quads_from_rows
+
+
+def _q(g, s, p, o):
+    return (g, "iri", s, p, "literal", o, None, None)
+
+
+def _quadset(df):
+    return {tuple(r) for r in df.select(*QUAD_FIELDS).collect()}
+
+
+def test_quad_delta_add_delete_change(spark):
+    old = quads_from_rows(spark, [
+        _q(None, "s1", "p", "v1"),
+        _q(None, "s2", "p", "v2"),
+        _q("g1", "s3", "p", "v3"),
+        _q(None, "s2", "p", "v2"),   # in-snapshot duplicate collapses
+    ])
+    new = quads_from_rows(spark, [
+        _q(None, "s1", "p", "v1"),      # unchanged -> no delta row
+        _q(None, "s2", "p", "v2b"),     # changed -> delete + add
+        _q(None, "s4", "p", "v4"),      # new -> add
+        # g1/s3 gone -> delete
+    ])
+    delta = quad_delta(old, new)
+    rows = {(r["op"], r["s"], r["o"]) for r in delta.collect()}
+    assert rows == {
+        ("delete", "s2", "v2"),
+        ("add", "s2", "v2b"),
+        ("add", "s4", "v4"),
+        ("delete", "s3", "v3"),
+    }
+
+
+def test_quad_delta_identity_is_empty(spark):
+    snap = quads_from_rows(spark, [
+        _q(None, "s1", "p", "v1"), _q("g", "s2", "p", "v2"),
+    ])
+    assert quad_delta(snap, snap).count() == 0
+
+
+def test_apply_delta_reconstructs_new(spark):
+    old = quads_from_rows(spark, [
+        _q(None, "s1", "p", "v1"),
+        _q(None, "s2", "p", "v2"),
+        _q("g1", "s3", "p", "v3"),
+    ])
+    new = quads_from_rows(spark, [
+        _q(None, "s1", "p", "v1"),
+        _q(None, "s2", "p", "v2b"),
+        _q(None, "s4", "p", "v4"),
+    ])
+    rebuilt = apply_delta(old, quad_delta(old, new))
+    assert _quadset(rebuilt) == _quadset(new)
+
+
+URL_VECTORS = [
+    # lowercase scheme+host, keep path case
+    ("HTTPS://WWW.Example.COM/Path/X", "https://www.example.com/Path/X"),
+    # default ports dropped, non-default kept
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),
+    ("https://a.com:80/x", "https://a.com:80/x"),
+    # fragment stripped; empty path -> /
+    ("http://a.com#frag", "http://a.com/"),
+    # duplicate slashes collapse
+    ("http://a.com//x///y", "http://a.com/x/y"),
+    # tracking params dropped, rest sorted, empties dropped
+    ("http://a.com/p?utm_source=t&b=2&a=1&fbclid=z", "http://a.com/p?a=1&b=2"),
+    ("http://a.com/p?z=9&&y=2", "http://a.com/p?y=2&z=9"),
+    # all params dropped -> no '?'
+    ("http://a.com/p?utm_campaign=c&gclid=g", "http://a.com/p"),
+    # 'ref' dropped but 'referrer' kept (prefix must match whole key)
+    ("http://a.com/p?ref=r&referrer=keep", "http://a.com/p?referrer=keep"),
+]
+
+
+def test_normalize_url_vectors(spark):
+    df = spark.createDataFrame([(r,) for r, _ in URL_VECTORS], ["u"])
+    got = [r[0] for r in
+           df.select(normalize_url(F.col("u"))).collect()]
+    assert got == [want for _, want in URL_VECTORS]
