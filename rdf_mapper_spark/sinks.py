@@ -118,6 +118,41 @@ def sparql_delete_script(quads: DataFrame, preserved_graphs: set[str],
     return "\n".join(out) + "\n"
 
 
+def sparql_delta_script(delta: DataFrame,
+                        namespaces: dict[str, str] | None = None) -> str:
+    """Incremental update script from a `pipeline.incremental.quad_delta`
+    result: DELETE DATA for op='delete', INSERT DATA for op='add', grouped
+    per graph — ships only changed quads, unlike the reference's
+    whole-graph DROP + re-INSERT (template_processor.py:72-82), which is
+    the only viable shape at 10^12 documents where a crawl snapshot
+    touches a small fraction of pages.
+
+    Deletes are emitted BEFORE inserts so a changed quad (same s/p, new o)
+    never transiently removes its replacement. Driver-side serialization —
+    deltas are small by construction; for bulk backfills use the
+    partitioned-parquet / Iceberg MERGE sinks instead.
+    """
+    from pyspark.sql import functions as F
+
+    prefixes = namespaces or {}
+    out = []
+    for p, u in sorted(prefixes.items()):
+        out.append(f"PREFIX {p}: <{u}>")
+    for op, keyword in (("delete", "DELETE DATA"), ("add", "INSERT DATA")):
+        by_graph: dict[str | None, list[Quad]] = {}
+        for q in _collect(delta.where(F.col("op") == op)):
+            by_graph.setdefault(q.g, []).append(q)
+        for g, qs in sorted(by_graph.items(), key=lambda kv: str(kv[0])):
+            out.append(keyword + " {")
+            if g is not None:
+                out.append(f"GRAPH <{g}> {{")
+            out.append(_graph_block(qs, prefixes))
+            if g is not None:
+                out.append("}")
+            out.append("};")
+    return "\n".join(out) + "\n"
+
+
 def read_graph_tables(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

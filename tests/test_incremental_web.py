@@ -88,3 +88,31 @@ def test_normalize_url_vectors(spark):
     got = [r[0] for r in
            df.select(normalize_url(F.col("u"))).collect()]
     assert got == [want for _, want in URL_VECTORS]
+
+
+def test_delta_script_executes_to_new_snapshot(spark):
+    """End-to-end incremental path: old store + sparql_delta_script(delta)
+    == new snapshot, including default-graph and named-graph quads and a
+    changed-object (delete-then-insert) case."""
+    from rdf_mapper_spark.sinks import sparql_delta_script
+    from rdf_mapper_spark.turtle import canonical_quadset
+    from rdf_mapper_spark.update_apply import apply_update_script
+
+    from tests.conftest import quads_of_df
+
+    old = quads_from_rows(spark, [
+        _q(None, "http://ex.com/s1", "http://ex.com/p", "v1"),
+        _q(None, "http://ex.com/s2", "http://ex.com/p", "v2"),
+        _q("http://ex.com/g1", "http://ex.com/s3", "http://ex.com/p", "v3"),
+    ])
+    new = quads_from_rows(spark, [
+        _q(None, "http://ex.com/s1", "http://ex.com/p", "v1"),
+        _q(None, "http://ex.com/s2", "http://ex.com/p", "v2b"),   # changed
+        _q("http://ex.com/g1", "http://ex.com/s4", "http://ex.com/p", "v4"),
+    ])
+    script = sparql_delta_script(quad_delta(old, new))
+    assert "DELETE DATA" in script and "INSERT DATA" in script
+    # deletes must precede inserts (changed quads: remove old o, add new o)
+    assert script.index("DELETE DATA") < script.index("INSERT DATA")
+    store = apply_update_script(script, quads_of_df(old))
+    assert canonical_quadset(store) == canonical_quadset(quads_of_df(new))
