@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -153,9 +154,50 @@ def ivf_probe_expr(vec: Column, cells: list[list[float]],
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["idx"])
 
 
+def train_centroids(embeddings: DataFrame, n_cells: int = 16,
+                    iters: int = 3, dim: int | None = None, seed: int = 7,
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Distributed spherical k-means coarse quantizer for `ivf_topk`.
+
+    Lloyd iterations expressed as DataFrame aggregation: assign each
+    vector to its best cell (argmax dot — the same rule ivf_topk uses to
+    store/probe, so training optimizes exactly the quantizer the search
+    path applies), then recompute each centroid as the per-dimension mean
+    of its members (``dim`` avg() aggregates → ONE shuffle per iteration
+    with map-side partial aggregation), L2-normalized on the driver.  The
+    collected state is n_cells x dim floats — dictionary-sized regardless
+    of corpus size, so the loop is iters small jobs, not a driver
+    bottleneck.  Deterministic end-to-end: seeded init (`centroids`),
+    first-max tie-break in assignment; empty cells keep their previous
+    centroid.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    cells = centroids(dim, n_cells, seed)
+    for _ in range(iters):
+        dots = _cell_dots_sql(vec_col, cells)
+        assigned = embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
+            .alias("cell"),
+        )
+        rows = assigned.groupBy("cell").agg(
+            *[F.avg(F.col("v")[i].cast("double")).alias(f"m{i}")
+              for i in range(dim)]
+        ).collect()
+        new_cells = list(cells)
+        for r in rows:
+            m = [float(r[f"m{i}"]) for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in m))
+            if norm > 0:
+                new_cells[r["cell"] - 1] = [x / norm for x in m]
+        cells = new_cells
+    return cells
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, nprobe: int = 4, dim: int | None = None,
-             seed: int = 7,
+             seed: int = 7, cells: list[list[float]] | None = None,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF-style approximate top-k: the inverted-file scale path.
 
@@ -167,9 +209,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     the seeded random codebook is swapped for a trained k-means one
     without touching the plan.  Probe fan-out multiplies only the (small,
     broadcast) query side."""
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    cells = centroids(dim, n_cells, seed)
+    if cells is None:
+        if dim is None:
+            dim = len(embeddings.select(vec_col).first()[0])
+        cells = centroids(dim, n_cells, seed)
+    else:
+        n_cells = len(cells)
     # SQL-string formulation: one F.expr parse instead of hundreds of
     # py4j lambda round-trips per plan build (see _dot_sql)
     dots_v = _cell_dots_sql(vec_col, cells)
