@@ -118,6 +118,7 @@ def main() -> None:
         "dedup_simhash", "embedding_near_dups",
         "pricing_summary", "segment_revenue", "ann_topk", "ann_lsh",
         "text_analysis", "text_winnow",
+        "kg_incremental", "quality_filter", "web_canonical_urls",
     ]
     queries = entry_mod.queries()
     for name in headline:

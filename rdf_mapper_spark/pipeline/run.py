@@ -171,6 +171,7 @@ def run_pipeline(
     workdir: Optional[str] = None,
     dedup_salt: int = 0,
     materialize: bool = True,
+    prefilter: bool = False,
 ) -> dict:
     """Run all stages; returns metrics incl. emitted triple count + timings.
 
@@ -197,6 +198,17 @@ def run_pipeline(
         ),
         fingerprint=fp,
     )
+    if prefilter:
+        # corpus hygiene (quality verdict + canonical-URL dedup) BEFORE
+        # linking/emission: everything downstream shuffles strictly less;
+        # off by default so the headline bench measures the engine, not
+        # the filter policy
+        from rdf_mapper_spark.pipeline.prefilter import prefilter_pages
+
+        extracted = runner.run(
+            "prefilter", lambda: prefilter_pages(extracted),
+            fingerprint=fp,
+        )
     # fused mode: the extraction UDF output feeds BOTH the page-triple
     # branch and the linking branch — persist it once (checkpointed mode
     # reads it back from parquet, already cheap to rescan); same for the

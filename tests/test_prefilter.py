@@ -1,0 +1,80 @@
+"""Corpus prefilter stage (pipeline/prefilter.py): quality verdict +
+canonical-URL dedup composed into the KG pipeline."""
+
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.pipeline.prefilter import prefilter_pages
+
+# passes every quality rule: 27 tokens, stopword-rich, all-alpha words
+GOOD = ("the curious researchers examined the ancient library and the "
+        "students gathered around the wooden tables to discuss the findings "
+        "of the expedition in the quiet evening")
+
+
+def _extracted(spark, rows):
+    df = spark.createDataFrame(rows, ["url", "text", "lang"])
+    return df.withColumn(
+        "warc_ts", F.lit("2025-01-01 00:00:00").cast("timestamp")
+    ).select("url", "warc_ts", "text", "lang")
+
+
+def test_prefilter_quality_and_canonical_dedup(spark):
+    rows = [
+        # two URLs with the same canonical form -> one survivor, and the
+        # survivor is the lexicographically smallest RAW url
+        ("http://X.com:80/p?utm_source=a", GOOD, "en"),
+        ("http://x.com/p", GOOD, "en"),
+        ("http://y.com/q", GOOD, "en"),
+        # junk: 3 tokens -> too_short -> dropped
+        ("http://z.com/r", "aa bb cc", "en"),
+    ]
+    out = prefilter_pages(_extracted(spark, rows))
+    assert {r.url for r in out.collect()} == {
+        "http://X.com:80/p?utm_source=a", "http://y.com/q",
+    }
+
+
+def test_prefilter_flags_independent(spark):
+    rows = [
+        ("http://x.com/p", GOOD, "en"),
+        ("http://X.com:80/p", GOOD, "en"),
+        ("http://z.com/r", "aa bb cc", "en"),
+    ]
+    ex = _extracted(spark, rows)
+    assert prefilter_pages(ex, quality=False).count() == 2      # dedup only
+    assert prefilter_pages(ex, dedup_canonical_url=False).count() == 2
+    assert prefilter_pages(ex, quality=False,
+                           dedup_canonical_url=False).count() == 3
+
+
+def test_run_pipeline_with_prefilter(spark):
+    """End-to-end: junk and duplicate-canonical pages emit no triples."""
+    from rdf_mapper_spark.pipeline.datagen import make_alias_dict
+    from rdf_mapper_spark.pipeline.run import run_pipeline
+
+    rows = [
+        ("http://X.com:80/p?utm_source=a", GOOD, "en"),
+        ("http://x.com/p", GOOD, "en"),
+        ("http://y.com/q", GOOD, "en"),
+        ("http://z.com/r", "aa bb cc", "en"),
+    ]
+    pages = _extracted(spark, rows).select(
+        "url", "warc_ts",
+        F.concat(F.lit("<html><body><p>"), F.col("text"),
+                 F.lit("</p></body></html>")).cast("binary").alias("html"),
+        "text", "lang",
+    ).select("url", "warc_ts", "html", "text", "lang")
+    run = run_pipeline(spark, pages, make_alias_dict(spark, 5),
+                       workdir=None, materialize=False, prefilter=True)
+    assert run["triples"] > 0
+    # page subjects: only the two surviving urls
+    from rdf_mapper_spark.engine import MapperEngine  # noqa: F401 (import parity)
+    from rdf_mapper_spark.pipeline.run import build_quads_split
+    from rdf_mapper_spark.pipeline.prefilter import prefilter_pages as pf
+    from rdf_mapper_spark.pipeline.linking import link_entities
+
+    kept = pf(pages.select("url", "warc_ts", "text", "lang"))
+    page_q, _ = build_quads_split(
+        kept, link_entities(kept, make_alias_dict(spark, 5)))
+    subjects = {r.s for r in page_q.select("s").distinct().collect()}
+    assert subjects == {"http://X.com:80/p?utm_source=a", "http://y.com/q"}
