@@ -135,12 +135,18 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 16, n: int = 3,
     DuckDB for oracle checks; swap in xxhash64 for raw speed in production.
     """
     sh = shingles_col(F.col(text_col), n)
-    sig = F.array(*[
-        F.array_min(F.transform(
-            sh, _minhash_fn(i)
-        ))
-        for i in range(num_hashes)
-    ])
+
+    # let-binding (see ops/text.winnow_fingerprints): bind the shingle
+    # array once as a lambda variable — referencing `sh` in each of the
+    # num_hashes subtrees would rebuild the n-gram chain per hash function
+    # (interpreted HOFs get no CSE)
+    def _sig(shv: Column) -> Column:
+        return F.array(*[
+            F.array_min(F.transform(shv, _minhash_fn(i)))
+            for i in range(num_hashes)
+        ])
+
+    sig = F.element_at(F.transform(F.array(sh), _sig), 1)
     return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
