@@ -107,6 +107,95 @@ def stream_kg_pipeline(
     return writer.start()
 
 
+def stream_incremental_kg(
+    pages_stream: DataFrame,
+    aliases: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous re-crawl maintenance: each micro-batch REPLACES the
+    page-keyed triples of exactly the pages it contains and grows the
+    entity dictionary monotonically — the streaming form of
+    `pipeline.incremental.quad_delta`.
+
+    Semantics per batch:
+      * page-keyed quads (subject = a batch URL: page description AND
+        mention triples) — diffed against the current state restricted to
+        those subjects; deletes remove triples the re-crawled page no
+        longer emits, adds insert the new ones. Pages NOT in the batch are
+        untouched (the restriction makes the delta local, not
+        whole-graph).
+      * entity-description quads (subject = entity IRI, shared across
+        pages) — add-only set union: a page dropping a mention must not
+        delete a dictionary entry other pages still reference.
+
+    State here is a parquet quad table swapped atomically per batch
+    (test/interop scale); at 100 TB the same delta feeds the
+    `IcebergMergeSink` / `sparql_delta_script` instead of a rewrite, and
+    the subject restriction becomes partition pruning on an
+    s-bucketed table.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.utils import AnalysisException
+
+    from rdf_mapper_spark.pipeline.canonicalize import (
+        canonical_mapping,
+        rewrite_canonical,
+        sameas_edges_from_aliases,
+    )
+    from rdf_mapper_spark.pipeline.extract import with_extracted_text
+    from rdf_mapper_spark.pipeline.incremental import apply_delta, quad_delta
+    from rdf_mapper_spark.pipeline.linking import link_entities
+    from rdf_mapper_spark.pipeline.run import build_quads_split
+    from rdf_mapper_spark.quads import empty_quads, union_quads
+
+    mapping = canonical_mapping(sameas_edges_from_aliases(aliases))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        extracted = with_extracted_text(batch_df).select(
+            "url", "warc_ts", F.col("extracted_text").alias("text"), "lang"
+        ).persist()
+        extracted.count()
+        links = link_entities(extracted, aliases)
+        page_q, dyn_q = build_quads_split(extracted, links)
+        dyn = dedup_quads(rewrite_canonical(dyn_q, mapping))
+        urls = extracted.select(F.col("url").alias("s")).distinct()
+        new_pk = union_quads(
+            [page_q, dyn.join(F.broadcast(urls), "s", "left_semi")]
+        )
+        ent_q = dyn.join(F.broadcast(urls), "s", "left_anti")
+        try:
+            state = spark.read.parquet(state_path)
+            state.first()
+        except AnalysisException:
+            state = empty_quads(spark)
+        old_pk = state.join(F.broadcast(urls), "s", "left_semi")
+        delta = quad_delta(old_pk, new_pk)
+        new_state = dedup_quads(
+            union_quads([apply_delta(state, delta), ent_q])
+        )
+        tmp = state_path + f".tmp-{batch_id}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        extracted.unpersist()
+        # atomic-enough swap for the local-parquet state (the read above is
+        # fully materialized into tmp before the old dir is dropped)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_quad_dedup(quad_stream: DataFrame) -> DataFrame:
     """Cross-micro-batch RDF set semantics as a custom stateful operator.
 

@@ -111,3 +111,73 @@ def test_stream_kg_pipeline_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert dedup_quads(spark.read.parquet(out)).count() == batch["triples"]
+
+
+def test_stream_incremental_kg_recrawl(spark, tmp_path):
+    """Re-crawl maintenance: batch 1 ingests pages A(v1)+B; batch 2
+    re-crawls A(v2) with a different mention set. Final state must equal
+    the batch pipeline over the CURRENT corpus {A(v2), B} on page-keyed
+    triples, with the entity dictionary a monotone superset (entities only
+    A(v1) mentioned are kept, not deleted)."""
+    from pyspark.sql import functions as F
+
+    from rdf_mapper_spark.pipeline.datagen import make_alias_dict
+    from rdf_mapper_spark.pipeline.run import run_pipeline
+    from rdf_mapper_spark.streaming import stream_incremental_kg
+
+    aliases = make_alias_dict(spark, 6)
+
+    def pages(rows):
+        df = spark.createDataFrame(rows, ["url", "text"])
+        return df.select(
+            "url",
+            F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.concat(F.lit("<html><body><p>"), F.col("text"),
+                     F.lit("</p></body></html>")).cast("binary")
+            .alias("html"),
+            "text",
+            F.lit("en").alias("lang"),
+        )
+
+    a_v1 = "report about entity0 and entity1 with background"
+    a_v2 = "updated report about entity2 only"
+    b = "notes mentioning entity3 and entity 4 here"
+
+    crawl_dir = str(tmp_path / "crawl")
+    # two files -> two micro-batches in arrival order (file mtime)
+    pages([("http://ex.com/a", a_v1), ("http://ex.com/b", b)]) \
+        .coalesce(1).write.parquet(crawl_dir + "/c1")
+    pages([("http://ex.com/a", a_v2)]) \
+        .coalesce(1).write.parquet(crawl_dir + "/c2")
+
+    schema = spark.read.parquet(crawl_dir + "/c1").schema
+    state = str(tmp_path / "state")
+    q = stream_incremental_kg(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(crawl_dir + "/c*"),
+        aliases, state, str(tmp_path / "ck"),
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(state)
+    current = pages([("http://ex.com/a", a_v2), ("http://ex.com/b", b)])
+    run_pipeline(spark, current, aliases, workdir=str(tmp_path / "w"),
+                 materialize=True)
+    want = spark.read.parquet(str(tmp_path / "w") + "/graph_tables")
+
+    def quadset(df, where=None):
+        if where is not None:
+            df = df.where(where)
+        return {tuple(r) for r in
+                df.select("g", "sk", "s", "p", "ok", "o", "odt", "olg")
+                .collect()}
+
+    page_keyed = F.col("s").startswith("http://ex.com/")
+    # page + mention triples: exact replace semantics
+    assert quadset(got, page_keyed) == quadset(want, page_keyed)
+    # v1's dropped mentions are gone
+    assert not [r for r in got.collect()
+                if r.s == "http://ex.com/a" and "entity/0" in (r.o or "")]
+    # entity dictionary: monotone superset of the current corpus's
+    assert quadset(got, ~page_keyed) >= quadset(want, ~page_keyed)
