@@ -1335,20 +1335,25 @@ def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id").cast("string"))
 
     def snapshot(docs: DataFrame, text_col: str) -> DataFrame:
-        def triple(p: str, o: Column) -> DataFrame:
-            return docs.select(
-                F.lit(None).cast("string").alias("g"),
-                F.lit("iri").alias("sk"),
-                subj.alias("s"),
-                F.lit(p).alias("p"),
-                F.lit("literal").alias("ok"),
-                o.alias("o"),
-                F.lit(None).cast("string").alias("odt"),
-                F.lit(None).cast("string").alias("olg"),
-            )
-
-        return triple(f"{KGB}/def/textHash", F.md5(F.col(text_col))) \
-            .unionByName(triple(f"{KGB}/def/language", F.col("lang")))
+        # both predicates from ONE scan (explode of a 2-struct array), not
+        # a union of per-predicate selects — at snapshot scale each union
+        # branch is a full pass over the pages table
+        po = F.explode(F.array(
+            F.struct(F.lit(f"{KGB}/def/textHash").alias("p"),
+                     F.md5(F.col(text_col)).alias("o")),
+            F.struct(F.lit(f"{KGB}/def/language").alias("p"),
+                     F.col("lang").alias("o")),
+        )).alias("po")
+        return docs.select(subj.alias("s"), po).select(
+            F.lit(None).cast("string").alias("g"),
+            F.lit("iri").alias("sk"),
+            "s",
+            F.col("po.p").alias("p"),
+            F.lit("literal").alias("ok"),
+            F.col("po.o").alias("o"),
+            F.lit(None).cast("string").alias("odt"),
+            F.lit(None).cast("string").alias("olg"),
+        )
 
     old = snapshot(d, "text")
     new_docs = d.where(F.col("doc_id") % 10 != 3).withColumn(

@@ -55,10 +55,11 @@ spark = bench.build_spark(cpus)
 spark.sparkContext.setLogLevel("ERROR")
 from rdf_mapper_spark.pipeline.datagen import make_pages, make_alias_dict
 from rdf_mapper_spark.pipeline.run import run_pipeline
-warm = run_pipeline(spark, make_pages(spark, 2000, n_entities=200),
-                    make_alias_dict(spark, 200), workdir=None,
-                    materialize=False)  # JIT + python-worker spin-up:
-# identical fixed cost would otherwise bias the faster level DOWN
+warm = run_pipeline(spark, make_pages(spark, 10000, n_entities=500),
+                    make_alias_dict(spark, 500), workdir=None,
+                    materialize=False)  # JIT + python-worker spin-up
+# (10k pages: C2 compiles the hot emission loops before trial 1, same as
+# bench.py); identical fixed cost would otherwise bias the faster level DOWN
 pages = make_pages(spark, pages_n, n_entities=2000)
 aliases = make_alias_dict(spark, 2000)
 m = run_pipeline(spark, pages, aliases, workdir=None, materialize=False)
