@@ -59,6 +59,8 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, datetime, bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if length < 0:
+            break  # adversarial: a negative length would stall the walk
         block_start = hdr_end + len(_CRLF2)
         block_end = block_start + length
         if block_end > n:

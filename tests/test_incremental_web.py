@@ -116,3 +116,30 @@ def test_delta_script_executes_to_new_snapshot(spark):
     assert script.index("DELETE DATA") < script.index("INSERT DATA")
     store = apply_update_script(script, quads_of_df(old))
     assert canonical_quadset(store) == canonical_quadset(quads_of_df(new))
+
+
+def test_normalize_url_idempotent_on_fuzz_corpus(spark):
+    """Canonical forms must be FIXED POINTS: normalize(normalize(u)) ==
+    normalize(u) for a seeded corpus of messy URL shapes (otherwise two
+    passes over a corpus disagree on the dedup key)."""
+    import random
+
+    rng = random.Random(97)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["A.com", "a.com", "WWW.Ex.ORG", "x.y.z.net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a//b", "/a/b//", "//x"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=t", "?a=1&&b=2",
+               "?ref=r&z=9", "?utm_x=1&utm_y=2"]
+    frags = ["", "#f", "#a/b?c=1"]
+    urls = ["".join([rng.choice(schemes), "://", rng.choice(hosts),
+                     rng.choice(ports), rng.choice(paths),
+                     rng.choice(queries), rng.choice(frags)])
+            for _ in range(500)]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    once = normalize_url(F.col("u"))
+    bad = df.select(
+        once.alias("n1"),
+        normalize_url(once).alias("n2"),
+    ).where(F.col("n1") != F.col("n2"))
+    assert bad.count() == 0, bad.limit(5).collect()

@@ -55,3 +55,27 @@ def test_read_warc_pages_and_extract(spark, tmp_path):
              .select("url", "extracted_text").collect()}
     assert texts == {"http://ex.com/a": "alpha page",
                      "http://ex.com/b": "beta page"}
+
+
+def test_parser_never_crashes_on_mutated_bytes():
+    """Crawl archives end mid-record and get corrupted; the walk must
+    terminate without raising on arbitrary mutations/truncations, and any
+    records it does return must carry bytes payloads."""
+    import random
+
+    rng = random.Random(13)
+    base = warc_bytes(RECORDS * 3)
+    for _ in range(200):
+        data = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            op = rng.randrange(3)
+            if op == 0 and data:       # flip a byte
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            elif op == 1 and data:     # truncate
+                del data[rng.randrange(len(data)):]
+            else:                      # insert garbage
+                pos = rng.randrange(len(data) + 1)
+                data[pos:pos] = bytes(rng.randrange(256)
+                                      for _ in range(rng.randrange(8)))
+        out = parse_warc_bytes(bytes(data))
+        assert all(isinstance(h, bytes) for _, _, h in out)
