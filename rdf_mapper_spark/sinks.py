@@ -263,6 +263,36 @@ class IcebergMergeSink(QuadSink):
             )
         return out
 
+    def statements_for_delta(self, delta: DataFrame) -> list[str]:
+        """Incremental maintenance from a `pipeline.incremental.quad_delta`
+        result: ONE MERGE per graph handles both ops — matched delete rows
+        are removed, unmatched add rows inserted — so a changed quad (same
+        s/p, new o: a delete of the old + an add of the new) commits
+        atomically in one Iceberg snapshot per graph instead of a
+        delete-then-insert pair. Graph pinning keeps partition pruning."""
+        graphs = sorted(
+            (r.g for r in delta.select("g").distinct().collect()),
+            key=lambda g: (g is not None, g),
+        )
+        out: list[str] = []
+        for g in graphs:
+            lit = self._graph_literal(g)
+            on = " AND ".join(
+                [f"t.g <=> {lit}"] +
+                [f"t.{c} <=> s.{c}" for c in self._QUAD_ID]
+            )
+            out.append(
+                f"MERGE INTO {self.table} t\n"
+                f"USING (SELECT * FROM {self.staging_view} "
+                f"WHERE g <=> {lit}) s\n"
+                f"ON {on}\n"
+                f"WHEN MATCHED AND s.op = 'delete' THEN DELETE\n"
+                f"WHEN NOT MATCHED AND s.op = 'add' THEN "
+                f"INSERT ({', '.join(('g',) + self._QUAD_ID)}) "
+                f"VALUES ({', '.join('s.' + c for c in ('g',) + self._QUAD_ID)})"
+            )
+        return out
+
     def write(self, quads: DataFrame) -> None:  # pragma: no cover
         # requires an Iceberg catalog in the session; not available in the
         # sandbox — statements() is the tested surface

@@ -66,3 +66,27 @@ def test_iceberg_merge_quotes_graph_iris(spark):
     ])
     stmts = IcebergMergeSink("t").statements(q)
     assert any("'http://g/o''brien'" in s for s in stmts)
+
+
+def test_iceberg_delta_merge_statements(spark):
+    """Delta -> one MERGE per graph with matched-delete / unmatched-insert
+    arms; graph pinned in ON for partition pruning."""
+    from rdf_mapper_spark.pipeline.incremental import quad_delta
+    from rdf_mapper_spark.quads import quads_from_rows
+
+    def _q(g, s, o):
+        return (g, "iri", s, "http://ex.com/p", "literal", o, None, None)
+
+    old = quads_from_rows(spark, [_q(None, "s1", "v1"), _q("g1", "s2", "v2")])
+    new = quads_from_rows(spark, [_q(None, "s1", "v1b"), _q("g1", "s3", "v3")])
+    stmts = IcebergMergeSink("cat.db.quads").statements_for_delta(
+        quad_delta(old, new))
+    assert len(stmts) == 2  # one per graph (default + g1)
+    for s in stmts:
+        assert "WHEN MATCHED AND s.op = 'delete' THEN DELETE" in s
+        assert "WHEN NOT MATCHED AND s.op = 'add' THEN INSERT" in s
+        assert "MERGE INTO cat.db.quads" in s
+    assert any("t.g <=> NULL" in s for s in stmts)
+    assert any("t.g <=> 'g1'" in s for s in stmts)
+    # op must not leak into the inserted columns
+    assert all("INSERT (g, sk, s, p, ok, o, odt, olg)" in s for s in stmts)
