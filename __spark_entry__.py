@@ -1208,25 +1208,40 @@ WHERE doc_id % 3 = 2
 # ---------------------------------------------------------------------------
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style keep/drop verdict per document with canonical reason
-    labels (rule set: ops/text.py quality_reasons). Pure projection —
-    at corpus scale this is a map-only stage the scan absorbs."""
+    labels (rule set: ops/text.py quality_reasons). The stopword rule
+    routes per row by the document's lang column (known lists en/fr/de,
+    fallback en). Pure projection — at corpus scale this is a map-only
+    stage the scan absorbs."""
     from rdf_mapper_spark.ops.text import filter_documents
 
-    return filter_documents(_t(spark, sf_dir, "documents"))
+    return filter_documents(_t(spark, sf_dir, "documents"),
+                            lang_col="lang")
 
 
 def _oracle_quality_filter() -> str:
     from rdf_mapper_spark.ops.text import STOPWORDS
 
-    sw = "[" + ",".join(f"'{x}'" for x in STOPWORDS["en"]) + "]"
+    def lst(xs):
+        return "[" + ",".join(f"'{x}'" for x in xs) + "]"
+
+    # per-row language routing: known lists en/fr/de, fallback en
+    sw_routed = (
+        "CASE WHEN lang = 'fr' THEN len(list_filter(toks, "
+        f"t -> list_contains({lst(STOPWORDS['fr'])}, t))) "
+        "WHEN lang = 'de' THEN len(list_filter(toks, "
+        f"t -> list_contains({lst(STOPWORDS['de'])}, t))) "
+        "ELSE len(list_filter(toks, "
+        f"t -> list_contains({lst(STOPWORDS['en'])}, t))) END"
+    )
     return f"""
-WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents),
+WITH t AS (SELECT doc_id, text, lang, string_split(text,' ') toks
+  FROM documents),
 m AS (SELECT doc_id,
   len(toks) n_tok,
   length(text) n,
   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) alpha,
   length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) punct,
-  len(list_filter(toks, t -> list_contains({sw}, t))) sw_en,
+  {sw_routed} sw_en,
   list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) mean_wl
   FROM t),
 r AS (SELECT doc_id, COALESCE(array_to_string(list_filter([

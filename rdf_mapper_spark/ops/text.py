@@ -233,9 +233,22 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #   too_long      n_tokens > 100_000
 #   too_short     n_tokens < 20
 #   word_len      mean word length outside [3, 12]
-def quality_reasons(text: Column, lang: str = "en") -> Column:
+def stopword_ratio_routed(text: Column, lang_col: Column) -> Column:
+    """Stopword ratio against the ROW's language's list (known: en/fr/de;
+    anything else falls back to en — a missing list must not flag every
+    document of that language as gibberish).  CASE branches evaluate
+    lazily, so exactly one language's filter runs per row."""
+    out = F.when(lang_col == "fr", stopword_ratio(text, "fr")) \
+        .when(lang_col == "de", stopword_ratio(text, "de"))
+    return out.otherwise(stopword_ratio(text, "en"))
+
+
+def quality_reasons(text: Column, lang: str = "en",
+                    lang_col: Column | None = None) -> Column:
     """Comma-joined sorted drop-reason labels; empty string = keep.
 
+    With ``lang_col`` the low_stopword rule routes per row via
+    `stopword_ratio_routed`; otherwise the static ``lang`` list applies.
     concat_ws skips null fragments, so each rule contributes its label or
     null — the whole verdict is one codegen'd projection, no shuffle."""
     toks = tokens_col(text)
@@ -250,7 +263,8 @@ def quality_reasons(text: Column, lang: str = "en") -> Column:
                     lambda acc, t: acc + F.length(t)).cast("double")
         / n_tok.cast("double"),
     ).otherwise(F.lit(0.0))
-    swr = stopword_ratio(text, lang)
+    swr = (stopword_ratio_routed(text, lang_col) if lang_col is not None
+           else stopword_ratio(text, lang))
     pr = punct_ratio(text)
 
     def rule(cond: Column, label: str) -> Column:
@@ -268,11 +282,16 @@ def quality_reasons(text: Column, lang: str = "en") -> Column:
 
 
 def filter_documents(docs: DataFrame, text_col: str = "text",
-                     lang: str = "en") -> DataFrame:
+                     lang: str = "en",
+                     lang_col: str | None = None) -> DataFrame:
     """-> (doc_id, keep: boolean, reasons: string).  The corpus-filter
     stage of a training-data pipeline; downstream consumers `WHERE keep`
-    (predicate pushes into the scan) and auditors group by reasons."""
-    reasons = quality_reasons(F.col(text_col), lang)
+    (predicate pushes into the scan) and auditors group by reasons.
+    ``lang_col`` routes the stopword rule per row by that language
+    column."""
+    reasons = quality_reasons(
+        F.col(text_col), lang,
+        lang_col=F.col(lang_col) if lang_col is not None else None)
     return docs.select(
         "doc_id",
         (reasons == "").alias("keep"),
