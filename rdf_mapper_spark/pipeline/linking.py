@@ -61,7 +61,8 @@ def detect_mentions(pages: DataFrame, text_col: str = "text",
 
 def link_entities(pages: DataFrame, aliases: DataFrame,
                   text_col: str = "text", max_ngram: int = 2,
-                  prefix_filter_limit: int = 0) -> DataFrame:
+                  prefix_filter_limit: int = 0,
+                  broadcast_dict: bool = True) -> DataFrame:
     """-> (url, mention, entity_iri, entity_type) via broadcast hash join.
 
     The alias dictionary is the small dimension (north rule: broadcast it);
@@ -94,8 +95,20 @@ def link_entities(pages: DataFrame, aliases: DataFrame,
             first_tokens = sorted(r["t"] for r in ft)
     mentions = detect_mentions(pages, text_col=text_col, max_ngram=max_ngram,
                                first_tokens=first_tokens)
+    # broadcast_dict=False is the escape hatch for dictionaries too big for
+    # executor memory (~100M+ aliases at web scale): fall back to a shuffle
+    # hash join on the mention/alias key. Candidate n-grams then DO hit the
+    # wire, so pair it with prefix_filter_limit (the isin caveat in the
+    # docstring no longer dominates — in this regime volume, not CPU, is
+    # the constraint). Identical output either way (tested).
+    # the shuffle_hash hint is required, not just the absence of
+    # broadcast(): under autoBroadcastJoinThreshold the optimizer would
+    # silently re-broadcast a small dictionary and the test/plan contract
+    # ("no broadcast in this regime") would not hold at the size boundary
+    dict_side = (F.broadcast(aliases) if broadcast_dict
+                 else aliases.hint("shuffle_hash"))
     return mentions.join(
-        F.broadcast(aliases), mentions["mention"] == aliases["alias"], "inner"
+        dict_side, mentions["mention"] == aliases["alias"], "inner"
     ).select("url", "mention", "entity_iri", "entity_type")
 
 

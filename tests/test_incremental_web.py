@@ -143,3 +143,47 @@ def test_normalize_url_idempotent_on_fuzz_corpus(spark):
         normalize_url(once).alias("n2"),
     ).where(F.col("n1") != F.col("n2"))
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def _normalize_url_py(u: str) -> str:
+    """INDEPENDENT reference implementation (urllib-based, not regex) of
+    the ops/web.py normalization rules — the differential oracle."""
+    import re
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(u)
+    scheme = sp.scheme.lower()
+    host = sp.netloc.lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    path = re.sub(r"/{2,}", "/", sp.path) or "/"
+    params = [p for p in sp.query.split("&")
+              if p and not re.match(
+                  r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)=", p)]
+    q = "&".join(sorted(params))
+    return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+
+def test_normalize_url_matches_urllib_oracle(spark):
+    """Spark regex chain vs the independent urllib implementation on the
+    seeded messy-URL corpus: byte-identical canonical forms."""
+    import random
+
+    rng = random.Random(41)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["A.com", "a.com", "WWW.Ex.ORG", "x.y.z.net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a//b", "/a/b//", "/Ab/C"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=t", "?a=1&&b=2",
+               "?ref=r&z=9", "?utm_x=1&utm_y=2&keep=1"]
+    frags = ["", "#f", "#a/b?c=1"]
+    urls = ["".join([rng.choice(schemes), "://", rng.choice(hosts),
+                     rng.choice(ports), rng.choice(paths),
+                     rng.choice(queries), rng.choice(frags)])
+            for _ in range(500)]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    got = [r[0] for r in df.select(normalize_url(F.col("u"))).collect()]
+    want = [_normalize_url_py(u) for u in urls]
+    assert got == want

@@ -78,3 +78,19 @@ def test_run_pipeline_with_prefilter(spark):
         kept, link_entities(kept, make_alias_dict(spark, 5)))
     subjects = {r.s for r in page_q.select("s").distinct().collect()}
     assert subjects == {"http://X.com:80/p?utm_source=a", "http://y.com/q"}
+
+
+def test_link_entities_shuffle_join_matches_broadcast(spark):
+    """broadcast_dict=False (the too-big-to-broadcast escape hatch) must
+    produce the identical link set, and the plan must not broadcast."""
+    from rdf_mapper_spark.pipeline.datagen import make_alias_dict, make_pages
+    from rdf_mapper_spark.pipeline.linking import link_entities
+
+    pages = make_pages(spark, 300, n_entities=25).select(
+        "url", "warc_ts", "text", "lang")
+    aliases = make_alias_dict(spark, 25)
+    b = link_entities(pages, aliases)
+    s = link_entities(pages, aliases, broadcast_dict=False)
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, s.collect()))
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, "escape hatch still broadcasts"
