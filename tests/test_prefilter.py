@@ -94,3 +94,33 @@ def test_link_entities_shuffle_join_matches_broadcast(spark):
     assert sorted(map(tuple, b.collect())) == sorted(map(tuple, s.collect()))
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan, "escape hatch still broadcasts"
+
+
+def test_prefilter_stage_checkpoints_and_resumes(spark, tmp_path):
+    """prefilter=True in checkpointed mode: the stage parquet exists, and a
+    re-run with identical inputs reuses every stage (resume contract holds
+    for the new stage name)."""
+    from rdf_mapper_spark.pipeline.datagen import make_alias_dict
+    from rdf_mapper_spark.pipeline.run import run_pipeline
+
+    rows = [
+        ("http://x.com/p", GOOD, "en"),
+        ("http://X.com:80/p", GOOD, "en"),
+        ("http://z.com/r", "aa bb cc", "en"),
+    ]
+    pages = _extracted(spark, rows).select(
+        "url", "warc_ts",
+        F.concat(F.lit("<html><body><p>"), F.col("text"),
+                 F.lit("</p></body></html>")).cast("binary").alias("html"),
+        "text", "lang",
+    )
+    pdir = str(tmp_path / "pages")
+    pages.write.parquet(pdir)
+    pages = spark.read.parquet(pdir)
+    w = str(tmp_path / "work")
+    aliases = make_alias_dict(spark, 5)
+    r1 = run_pipeline(spark, pages, aliases, workdir=w, prefilter=True)
+    assert (tmp_path / "work" / "prefilter").exists()
+    r2 = run_pipeline(spark, pages, aliases, workdir=w, prefilter=True)
+    assert r1["triples"] == r2["triples"]
+    assert all(s.get("resumed") for s in r2["stages"].values()), r2["stages"]
