@@ -1404,6 +1404,35 @@ FROM d WHERE in_old <> in_new
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (ops/dedup.contaminated_docs): flag corpus
+    documents sharing word n-grams with a benchmark slice (doc_id % 97 ==
+    0 stands in for an eval set). n=3 on this synthetic corpus so overlap
+    is non-trivial; production uses n=8-13 — the operator is
+    n-parametric."""
+    from rdf_mapper_spark.ops.dedup import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    return contaminated_docs(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
+def _oracle_decontaminate() -> str:
+    return """
+WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') gram
+      FROM d, unnest(generate_series(1, greatest(len(toks)-2, 0))) t(i)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1447,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "web_canonical_urls": q_web_canonical_urls,
         "kg_incremental": q_kg_incremental,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1485,4 +1515,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _oracle_quality_filter(),
         "web_canonical_urls": _oracle_web_canonical_urls(),
         "kg_incremental": _oracle_kg_incremental(),
+        "decontaminate": _oracle_decontaminate(),
     }

@@ -476,3 +476,36 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def contaminated_docs(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Test-set decontamination: -> (doc_id, n_shared_grams) for documents
+    sharing at least one word n-gram with a benchmark corpus.
+
+    Contamination is VERBATIM leakage, so the detector is exact n-gram
+    overlap (n = 8-13 in production; nothing fuzzy). The benchmark's gram
+    set is dictionary-sized — eval sets are tiny next to the training
+    corpus — so it broadcasts, and the probe joins inside the exploded
+    scan: misses are discarded in the same codegen stage and never reach
+    a shuffle (the entity-linking shape). The only shuffle is the final
+    per-doc count over hits, which is bounded by benchmark overlap, not
+    corpus size.
+    """
+    from rdf_mapper_spark.ops.text import ngrams_col
+
+    def grams(c: Column) -> Column:
+        return F.array_distinct(ngrams_col(tokens_col(c), n))
+
+    bg = benchmark.select(
+        F.explode(grams(F.col(text_col))).alias("gram")).distinct()
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(grams(F.col(text_col))).alias("gram"),
+    )
+    return (
+        dg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
