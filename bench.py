@@ -119,6 +119,7 @@ def main() -> None:
         "pricing_summary", "segment_revenue", "ann_topk", "ann_lsh",
         "text_analysis", "text_winnow",
         "kg_incremental", "quality_filter", "web_canonical_urls",
+        "decontaminate",
     ]
     queries = entry_mod.queries()
     for name in headline:

@@ -154,3 +154,24 @@ def test_kg_pipeline_plan_is_pure_jvm(spark):
     final = union_quads([pq, dedup_quads(rewrite_canonical(dq, mapping))])
     plan = final._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_decontaminate_probe_is_broadcast_no_cartesian(spark, tmp_path):
+    """Decontamination: benchmark gram set broadcasts (probe fused into the
+    exploded scan), no cartesian product, no Python on the path."""
+    from rdf_mapper_spark.ops.dedup import contaminated_docs
+
+    src = str(tmp_path / "docs")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta word"),
+                 (F.col("id") % 7).cast("string")).alias("text"),
+    ).write.parquet(src)
+    d = spark.read.parquet(src)
+    out = contaminated_docs(d.where("doc_id % 10 != 0"),
+                            d.where("doc_id % 10 = 0"), n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
+    assert out.count() > 0
