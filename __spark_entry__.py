@@ -1404,6 +1404,40 @@ FROM d WHERE in_old <> in_new
 """
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level near-dup pairs by shared winnowing fingerprints
+    (ops/dedup.winnow_pairs): documents sharing >= 2 fps, ranked by
+    overlap count. Exact (no df cap) so DuckDB mirrors it; production
+    sets max_df to bound boilerplate-fp skew."""
+    from rdf_mapper_spark.ops.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"),
+                        min_shared=2, k=_WINNOW_K, w=_WINNOW_W)
+
+
+def _oracle_winnow_pairs() -> str:
+    # same winnow CTE as _oracle_text_winnow, then the inverted-index
+    # self-join + pair count
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+WITH t AS (SELECT doc_id id, string_split(text, ' ') toks FROM documents),
+g AS (SELECT id, list_transform(
+        generate_series(1, greatest(len(toks) - {k - 1}, 0)),
+        i -> array_to_string(toks[i:i+{k - 1}], ' ')) grams FROM t),
+h AS (SELECT id, list_transform(
+        grams, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) hs FROM g),
+wn AS (SELECT id, list_distinct(list_transform(
+        generate_series(1, greatest(len(hs) - {w - 1}, 1)),
+        i -> list_min(hs[i:i+{w - 1}]))) fps
+       FROM h WHERE len(hs) > 0),
+fp AS (SELECT id, unnest(fps) fp FROM wn)
+SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination (ops/dedup.contaminated_docs): flag corpus
     documents sharing word n-grams with a benchmark slice (doc_id % 97 ==
@@ -1477,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_canonical_urls": q_web_canonical_urls,
         "kg_incremental": q_kg_incremental,
         "decontaminate": q_decontaminate,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -1516,4 +1551,5 @@ def oracle_sql() -> dict[str, str]:
         "web_canonical_urls": _oracle_web_canonical_urls(),
         "kg_incremental": _oracle_kg_incremental(),
         "decontaminate": _oracle_decontaminate(),
+        "winnow_pairs": _oracle_winnow_pairs(),
     }

@@ -509,3 +509,39 @@ def contaminated_docs(docs: DataFrame, benchmark: DataFrame, n: int = 8,
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+def winnow_pairs(docs: DataFrame, min_shared: int = 2, k: int = 5,
+                 w: int = 4, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 max_df: int | None = None) -> DataFrame:
+    """Passage-level near-dup pairs: -> (id_a, id_b, n_shared) for document
+    pairs sharing >= min_shared winnowing fingerprints
+    (ops/text.winnow_fingerprints — any common run of >= k+w-1 tokens
+    guarantees a shared fp, so this ranks plagiarism/boilerplate pairs).
+
+    Inverted-index self-join on the fingerprint, the jaccard_pairs shape:
+    the shuffle key is the fp, so boilerplate shared by many documents is
+    the skew risk — ``max_df`` drops fingerprints whose document frequency
+    exceeds it BEFORE the self-join (a fp in d docs contributes O(d²)
+    pairs; production sets this to a few hundred). None keeps exact
+    semantics for oracle checks.
+    """
+    from rdf_mapper_spark.ops.text import winnow_fingerprints
+
+    fps = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp"),
+    )
+    if max_df is not None:
+        live = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") <= max_df).select("fp"))
+        fps = fps.join(live, "fp")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp").where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
