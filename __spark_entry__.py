@@ -1244,14 +1244,15 @@ m AS (SELECT doc_id,
   {sw_routed} sw_en,
   list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) mean_wl
   FROM t),
-r AS (SELECT doc_id, COALESCE(array_to_string(list_filter([
+r AS (SELECT doc_id, CASE WHEN n IS NULL OR n = 0 THEN 'null_text'
+  ELSE COALESCE(array_to_string(list_filter([
     CASE WHEN punct * 1.0 / n > 0.10 THEN 'high_punct' END,
     CASE WHEN alpha * 1.0 / n < 0.80 THEN 'low_alpha' END,
     CASE WHEN sw_en * 1.0 / n_tok < 0.03 THEN 'low_stopword' END,
     CASE WHEN n_tok > 100000 THEN 'too_long' END,
     CASE WHEN n_tok < 20 THEN 'too_short' END,
     CASE WHEN mean_wl < 3.0 OR mean_wl > 12.0 THEN 'word_len' END
-  ], x -> x IS NOT NULL), ','), '') reasons FROM m)
+  ], x -> x IS NOT NULL), ','), '') END reasons FROM m)
 SELECT doc_id, reasons = '' AS keep, reasons FROM r
 """
 

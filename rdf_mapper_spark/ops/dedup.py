@@ -325,14 +325,11 @@ def _simhash_banded(docs: DataFrame, max_hamming: int, text_col: str,
         hash_fn = simhash64
     # ONE projection computes the simhash, ONE explode emits the band keys
     # (a union of per-band branches would recompute the hash n_bands times —
-    # measured as the dominant cost), and the self-join keeps both sides'
-    # plans identical so the shuffle exchange is built once and reused.
-    # persist the (id, h) projection: AQE does not reuse shuffle stages
-    # whose subtrees contain Python UDFs (verified), so without the cache
-    # the self-join would run the hash UDF once per side. 16 bytes/row —
-    # ~16 GB cluster-wide at 10^9 docs, MEMORY_AND_DISK by default.
+    # measured as the dominant cost).  No persist: the consumer aggregates
+    # this single branch (groupBy collect_list), so the hash UDF runs
+    # exactly once per row with no cached state to leak.
     sh = docs.select(F.col(id_col).alias("id"),
-                     hash_fn(F.col(text_col)).alias("h")).persist()
+                     hash_fn(F.col(text_col)).alias("h"))
     band_keys = []
     for b in range(n_bands):
         start = bits * b // n_bands
@@ -386,24 +383,31 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         )
     banded = _simhash_banded(docs, max_hamming, text_col, id_col,
                              hash_fn=hash_fn, bits=bits)
+    # Candidate pairs via groupBy + in-bucket array expansion rather than a
+    # banded SELF-JOIN: the hash UDF evaluates once (single branch — AQE
+    # would NOT reuse a shuffle stage containing a Python UDF across join
+    # sides, which previously forced a session-lifetime persist), the
+    # shuffle moves each (id, h) once instead of twice, and the max_bucket
+    # guard becomes a free size() filter on the aggregated array.
+    # array_sort orders the structs by id, so in-bucket (i < j) expansion
+    # yields globally-ordered (id_a < id_b) pairs for the cross-band
+    # distinct.  Per-bucket O(n^2) expansion is the inherent verify cost;
+    # max_bucket bounds it (see the radius guard above).
+    buckets = banded.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list(F.struct("id", "h"))).alias("arr")
+    )
     if max_bucket is not None:
-        # window count over the same (band, key) the join shuffles on —
-        # the exchange is shared, so the guard costs no extra shuffle
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("_n", F.count(F.lit(1)).over(w))
-            .where(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
-    a, b2 = banded.alias("a"), banded.alias("b")
+        buckets = buckets.where(F.size("arr") <= max_bucket)
+    pairs_sql = (
+        "flatten(transform(sequence(1, size(arr) - 1), i -> "
+        "transform(slice(arr, i + 1, size(arr) - i), y -> "
+        "named_struct('id_a', element_at(arr, i).id, "
+        "'h_a', element_at(arr, i).h, 'id_b', y.id, 'h_b', y.h))))"
+    )
     cand = (
-        a.join(b2, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key")))
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.h").alias("h_a"), F.col("b.h").alias("h_b"))
+        buckets.where(F.size("arr") >= 2)
+        .select(F.explode(F.expr(pairs_sql)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

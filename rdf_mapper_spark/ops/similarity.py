@@ -170,9 +170,22 @@ def train_centroids(embeddings: DataFrame, n_cells: int = 16,
     bottleneck.  Deterministic end-to-end: seeded init (`centroids`),
     first-max tie-break in assignment; empty cells keep their previous
     centroid.
+
+    NULL/empty embedding rows (failed encodes) are dropped before
+    assignment — a NULL vector argmaxes to a NULL cell, which would
+    survive the groupBy and crash the centroid update — and an
+    all-null/empty input raises rather than returning a codebook trained
+    on nothing.
     """
+    embeddings = embeddings.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    first = embeddings.select(vec_col).head(1)
+    if not first:
+        raise ValueError(
+            "train_centroids: no non-null, non-empty vectors in "
+            f"column {vec_col!r}")
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = len(first[0][0])
     cells = centroids(dim, n_cells, seed)
     for _ in range(iters):
         dots = _cell_dots_sql(vec_col, cells)
@@ -187,6 +200,8 @@ def train_centroids(embeddings: DataFrame, n_cells: int = 16,
         ).collect()
         new_cells = list(cells)
         for r in rows:
+            if r["cell"] is None:  # defensive: null cells are pre-filtered
+                continue
             m = [float(r[f"m{i}"]) for i in range(dim)]
             norm = math.sqrt(sum(x * x for x in m))
             if norm > 0:

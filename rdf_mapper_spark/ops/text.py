@@ -250,7 +250,14 @@ def quality_reasons(text: Column, lang: str = "en",
     With ``lang_col`` the low_stopword rule routes per row via
     `stopword_ratio_routed`; otherwise the static ``lang`` list applies.
     concat_ws skips null fragments, so each rule contributes its label or
-    null — the whole verdict is one codegen'd projection, no shuffle."""
+    null — the whole verdict is one codegen'd projection, no shuffle.
+
+    NULL or empty text (a failed extraction) short-circuits to the single
+    reason ``null_text``: without the guard every rule condition is NULL,
+    concat_ws skips them all, and the degenerate row silently KEEPS — and
+    the per-engine arithmetic on zero-length text (0/0, NULL means)
+    diverges between Spark and any SQL oracle.  One explicit label is
+    deterministic on both."""
     toks = tokens_col(text)
     n = F.length(text)
     n_tok = F.size(toks)
@@ -270,7 +277,7 @@ def quality_reasons(text: Column, lang: str = "en",
     def rule(cond: Column, label: str) -> Column:
         return F.when(cond, F.lit(label))
 
-    return F.concat_ws(
+    verdict = F.concat_ws(
         ",",
         rule(pr > 0.10, "high_punct"),
         rule(alpha_ratio < 0.80, "low_alpha"),
@@ -279,6 +286,8 @@ def quality_reasons(text: Column, lang: str = "en",
         rule(n_tok < 20, "too_short"),
         rule((mean_wl < 3.0) | (mean_wl > 12.0), "word_len"),
     )
+    return F.when(text.isNull() | (F.length(text) == 0),
+                  F.lit("null_text")).otherwise(verdict)
 
 
 def filter_documents(docs: DataFrame, text_col: str = "text",

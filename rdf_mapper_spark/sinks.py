@@ -249,7 +249,10 @@ class IcebergMergeSink(QuadSink):
         for g in graphs:
             lit = self._graph_literal(g)
             g_match = f"t.g <=> {lit}"
-            if g is not None and g not in self.preserved_graphs:
+            # default graph (g IS NULL) included: a run REPLACES every
+            # non-preserved graph it outputs, per the QuadSink contract —
+            # pass None in preserved_graphs to preserve the default graph
+            if g not in self.preserved_graphs:
                 out.append(f"DELETE FROM {self.table} WHERE {g_match}")
             on = " AND ".join(
                 [g_match] + [f"t.{c} <=> s.{c}" for c in self._QUAD_ID]

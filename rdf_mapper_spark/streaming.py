@@ -26,6 +26,45 @@ from rdf_mapper_spark.quads import dedup_quads
 from rdf_mapper_spark.spec import MappingSpec
 
 
+def _recover_state_dir(state_path: str) -> None:
+    """Restore the incremental-KG state dir after a crash mid-swap.
+
+    The swap protocol (`stream_incremental_kg`) renames the live dir to
+    `<state>.old-<batch>` before renaming `<state>.tmp-<batch>` into
+    place.  If the process died in the gap, the live path is missing but
+    exactly one survivor exists; prefer the tmp (the fully-written NEW
+    state — it is only renamed after the write completes) over the old
+    backup, and clean up whichever remains."""
+    import os
+    import re
+    import shutil
+
+    parent = os.path.dirname(state_path) or "."
+    base = os.path.basename(state_path)
+    if not os.path.isdir(parent):
+        return
+    pat = re.compile(re.escape(base) + r"\.(tmp|old)-(\d+)$")
+    cands = []
+    for name in os.listdir(parent):
+        m = pat.match(name)
+        if m:
+            cands.append((m.group(1), int(m.group(2)), name))
+    if os.path.exists(state_path):
+        # live state is fine — just sweep leftovers from a crash after the
+        # rename-in but before the backup delete
+        for _, _, name in cands:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        return
+    if not cands:
+        return
+    # newest batch wins; within a batch, tmp (new state) beats old (backup)
+    cands.sort(key=lambda c: (c[1], c[0] == "tmp"))
+    winner = cands[-1][2]
+    os.rename(os.path.join(parent, winner), state_path)
+    for _, _, name in cands[:-1]:
+        shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def stream_mapping(
     spec: MappingSpec,
     stream_df: DataFrame,
@@ -168,6 +207,7 @@ def stream_incremental_kg(
             [page_q, dyn.join(F.broadcast(urls), "s", "left_semi")]
         )
         ent_q = dyn.join(F.broadcast(urls), "s", "left_anti")
+        _recover_state_dir(state_path)
         try:
             state = spark.read.parquet(state_path)
             state.first()
@@ -181,11 +221,18 @@ def stream_incremental_kg(
         tmp = state_path + f".tmp-{batch_id}"
         new_state.write.mode("overwrite").parquet(tmp)
         extracted.unpersist()
-        # atomic-enough swap for the local-parquet state (the read above is
-        # fully materialized into tmp before the old dir is dropped)
+        # crash-safe swap: the old state is RENAMED ASIDE (one atomic op),
+        # the new state renamed in (another), and only then is the backup
+        # deleted.  A crash between any two steps leaves either the old or
+        # the new state recoverable — `_recover_state_dir` at the next
+        # batch's read restores the newest survivor; contrast rmtree-then-
+        # rename, where a crash in the gap lost the state entirely.
+        old = state_path + f".old-{batch_id}"
         if os.path.exists(state_path):
-            shutil.rmtree(state_path)
+            os.rename(state_path, old)
         os.rename(tmp, state_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     writer = (
         pages_stream.writeStream.foreachBatch(process_batch)

@@ -160,3 +160,30 @@ def test_trained_centroids_improve_quantizer_and_recall(spark):
     ).collect()} & exact) / len(exact)
     assert r_trained >= r_random, (r_random, r_trained)
     assert r_trained >= 0.5, r_trained
+
+
+def test_train_centroids_skips_null_and_empty_vectors(spark):
+    """NULL/empty embeddings (failed encodes) must not crash training —
+    and must not perturb the codebook: training on the dirty frame equals
+    training on the clean subset."""
+    import pytest
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    from rdf_mapper_spark.ops.similarity import train_centroids
+
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ])
+    clean = [(i, [float((i * 7 + d) % 5) + 0.1 for d in range(4)])
+             for i in range(40)]
+    dirty = clean + [(100, None), (101, [])]
+    c_clean = train_centroids(spark.createDataFrame(clean, schema),
+                              n_cells=4, iters=2)
+    c_dirty = train_centroids(spark.createDataFrame(dirty, schema),
+                              n_cells=4, iters=2)
+    assert c_clean == c_dirty
+    with pytest.raises(ValueError, match="no non-null"):
+        train_centroids(
+            spark.createDataFrame([(1, None)], schema), n_cells=2)

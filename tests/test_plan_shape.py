@@ -75,9 +75,11 @@ def test_no_interpreted_hofs_on_scalar_emission(spark, tmp_path):
 
 
 def test_simhash_hash_udf_computed_once(spark):
-    """The banded self-join must not recompute the hash UDF per side: AQE
-    does not reuse shuffle stages containing Python UDFs, so the (id, h)
-    projection is persisted — both sides must scan the cache."""
+    """The banded pair generation must not recompute the hash UDF per join
+    side.  The groupBy + in-bucket array expansion formulation has a single
+    scan branch, so the plan carries exactly ONE ArrowEvalPython node and —
+    unlike the old persisted-self-join formulation — no cached state to
+    leak (no InMemoryTableScan, nothing left in the cache manager)."""
     from rdf_mapper_spark.ops.dedup import simhash_near_dups
 
     docs = spark.createDataFrame(
@@ -86,7 +88,12 @@ def test_simhash_hash_udf_computed_once(spark):
     )
     pairs = simhash_near_dups(docs, max_hamming=3)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "InMemoryTableScan" not in plan, plan
+    pairs.count()
+    # the old formulation leaked a session-lifetime persist per call
+    jstorage = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(jstorage) == 0, [str(s) for s in jstorage]
 
 
 def test_embedding_near_dups_is_not_cartesian(spark):

@@ -124,3 +124,48 @@ def test_prefilter_stage_checkpoints_and_resumes(spark, tmp_path):
     r2 = run_pipeline(spark, pages, aliases, workdir=w, prefilter=True)
     assert r1["triples"] == r2["triples"]
     assert all(s.get("resumed") for s in r2["stages"].values()), r2["stages"]
+
+
+# healthy native-stopword ratios, >= 20 tokens, zero EN-list stopwords —
+# so each survives ONLY if the stopword rule routes by its lang column
+GOOD_FR = ("le chercheur examine la vieille bibliothèque et les étudiants "
+           "se rassemblent autour de la grande table pour discuter les "
+           "résultats de la mission dans une soirée tranquille")
+GOOD_DE = ("der alte forscher untersucht die grosse bibliothek und die "
+           "studenten sammeln sich um den tisch zu besprechen die "
+           "ergebnisse von der reise an einem stillen abend")
+
+
+def test_prefilter_routes_stopword_rule_by_lang(spark):
+    """Round-3 verdict bug: prefilter judged every page against the
+    ENGLISH stopword list, silently dropping healthy fr/de pages.  The
+    rule must route per row by the lang column (and still default to the
+    en list when routing is disabled)."""
+    rows = [
+        ("http://en.com/p", GOOD, "en"),
+        ("http://fr.com/p", GOOD_FR, "fr"),
+        ("http://de.com/p", GOOD_DE, "de"),
+    ]
+    ex = _extracted(spark, rows)
+    routed = {r.url for r in prefilter_pages(ex).collect()}
+    assert routed == {"http://en.com/p", "http://fr.com/p",
+                      "http://de.com/p"}
+    # the pre-fix behavior, kept opt-in: English-only rule drops fr/de
+    unrouted = {r.url for r in prefilter_pages(ex, lang_col=None).collect()}
+    assert unrouted == {"http://en.com/p"}
+
+
+def test_prefilter_recrawl_survivor_is_latest(spark):
+    """Two crawls of the SAME raw URL (url-only ordering ties): the
+    survivor must be deterministic — latest warc_ts wins."""
+    df = spark.createDataFrame(
+        [
+            ("http://x.com/p", "2025-01-01 00:00:00", GOOD + " old", "en"),
+            ("http://x.com/p", "2025-06-01 00:00:00", GOOD + " new", "en"),
+        ],
+        ["url", "ts", "text", "lang"],
+    ).select("url", F.col("ts").cast("timestamp").alias("warc_ts"),
+             "text", "lang")
+    out = prefilter_pages(df).collect()
+    assert len(out) == 1
+    assert out[0].text.endswith(" new")

@@ -1,0 +1,79 @@
+"""Quality-filter degenerate-row semantics + mixed-language routing.
+
+Round-4 hardening: NULL/empty text (failed extraction) must be DROPPED
+with the explicit `null_text` reason — without the guard every rule
+condition folds to NULL, concat_ws skips them all, and junk rows pass
+the corpus filter — and the verdict must agree with the DuckDB oracle
+on exactly those degenerate rows.
+"""
+
+import duckdb
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from rdf_mapper_spark.ops.text import filter_documents, quality_reasons
+
+GOOD = ("the curious researchers examined the ancient library and the "
+        "students gathered around the wooden tables to discuss the findings "
+        "of the expedition in the quiet evening")
+
+SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+
+def _docs(spark):
+    return spark.createDataFrame([
+        (0, GOOD, "en"),
+        (1, None, "en"),        # failed extraction
+        (2, "", "fr"),          # empty extraction
+        (3, "aa bb cc", "en"),  # too_short
+    ], SCHEMA)
+
+
+def test_null_and_empty_text_dropped(spark):
+    out = {r.doc_id: r for r in filter_documents(
+        _docs(spark), lang_col="lang").collect()}
+    assert out[0].keep and out[0].reasons == ""
+    assert not out[1].keep and out[1].reasons == "null_text"
+    assert not out[2].keep and out[2].reasons == "null_text"
+    assert not out[3].keep and "too_short" in out[3].reasons
+
+
+def test_null_text_without_lang_routing(spark):
+    df = _docs(spark).select(
+        "doc_id", quality_reasons(F.col("text")).alias("reasons"))
+    got = {r.doc_id: r.reasons for r in df.collect()}
+    assert got[1] == "null_text" and got[2] == "null_text"
+
+
+def test_oracle_agrees_on_degenerate_rows(spark):
+    """The __spark_entry__ DuckDB oracle and the Spark operator must give
+    identical verdicts on NULL/empty text — the class of row where the
+    two engines' arithmetic (0/0, NULL aggregates) would otherwise
+    diverge silently."""
+    import __spark_entry__ as entry_mod
+
+    sdf = filter_documents(_docs(spark), lang_col="lang")
+    srows = sorted((r.doc_id, r.keep, r.reasons) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?)",
+        [(0, GOOD, "en"), (1, None, "en"), (2, "", "fr"),
+         (3, "aa bb cc", "en")],
+    )
+    orows = sorted(
+        tuple(r) for r in
+        con.execute(entry_mod.oracle_sql()["quality_filter"]).fetchall()
+    )
+    assert srows == orows

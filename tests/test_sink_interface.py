@@ -34,15 +34,24 @@ def test_iceberg_merge_statements(spark):
     sink = IcebergMergeSink("cat.db.quads",
                             preserved_graphs={"http://g/add"})
     stmts = sink.statements(q)
-    # one DELETE for the non-preserved named graph, one MERGE per graph
+    # one DELETE per non-preserved graph (default graph INCLUDED — a run
+    # replaces every non-preserved graph it outputs), one MERGE per graph
     deletes = [s for s in stmts if s.startswith("DELETE")]
     merges = [s for s in stmts if s.startswith("MERGE")]
     assert len(merges) == 3
     assert deletes == [
-        "DELETE FROM cat.db.quads WHERE t.g <=> 'http://g/base'"
+        "DELETE FROM cat.db.quads WHERE t.g <=> NULL",
+        "DELETE FROM cat.db.quads WHERE t.g <=> 'http://g/base'",
     ]
     # preserved graph: MERGE only (set-append), never dropped
     assert not any("'http://g/add'" in s for s in deletes)
+    # preserving the default graph is opt-in via None in preserved_graphs
+    stmts_pres = IcebergMergeSink(
+        "cat.db.quads", preserved_graphs={"http://g/add", None}
+    ).statements(q)
+    assert [s for s in stmts_pres if s.startswith("DELETE")] == [
+        "DELETE FROM cat.db.quads WHERE t.g <=> 'http://g/base'"
+    ]
     add_merge = next(s for s in merges if "'http://g/add'" in s)
     assert "WHEN NOT MATCHED THEN INSERT *" in add_merge
     # full quad identity in the ON clause -> idempotent set semantics

@@ -181,3 +181,41 @@ def test_stream_incremental_kg_recrawl(spark, tmp_path):
                 if r.s == "http://ex.com/a" and "entity/0" in (r.o or "")]
     # entity dictionary: monotone superset of the current corpus's
     assert quadset(got, ~page_keyed) >= quadset(want, ~page_keyed)
+
+
+def test_recover_state_dir_after_crash(tmp_path):
+    """Swap-protocol crash windows: whichever of (live, tmp, old) survives,
+    `_recover_state_dir` restores the newest state and sweeps leftovers."""
+    import os
+
+    from rdf_mapper_spark.streaming import _recover_state_dir
+
+    def mk(name, marker):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "part-0.parquet").write_text(marker)
+        return d
+
+    state = str(tmp_path / "state")
+
+    # crash between rename-aside and rename-in: only old + tmp exist
+    mk("state.old-3", "old3")
+    mk("state.tmp-3", "new3")
+    _recover_state_dir(state)
+    assert (tmp_path / "state" / "part-0.parquet").read_text() == "new3"
+    assert not (tmp_path / "state.old-3").exists()
+    assert not (tmp_path / "state.tmp-3").exists()
+
+    # crash after rename-in but before backup delete: live + stale old
+    mk("state.old-4", "old4")
+    _recover_state_dir(state)
+    assert (tmp_path / "state" / "part-0.parquet").read_text() == "new3"
+    assert not (tmp_path / "state.old-4").exists()
+
+    # crash before the tmp write finished a later batch is not possible
+    # (tmp is renamed only after the write returns) — but an old-only
+    # survivor (crash right after rename-aside) must restore the backup
+    os.rename(state, str(tmp_path / "gone"))
+    mk("state.old-9", "old9")
+    _recover_state_dir(state)
+    assert (tmp_path / "state" / "part-0.parquet").read_text() == "old9"
