@@ -1039,6 +1039,77 @@ SELECT qid, rank, neighbor FROM scored WHERE rank <= 10
 """
 
 
+def _ann_index_path(sf_dir: str, kind: str) -> str:
+    """Deterministic per-(input, kind) index location outside the
+    read-only test-data tree; keyed by the source file's (mtime, size) so
+    a regenerated fixture invalidates the stored index."""
+    import re as _re
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tok = f"{os.path.getmtime(src):.0f}-{os.path.getsize(src)}"
+    safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    return os.path.join(tempfile.gettempdir(), "ann_index", safe,
+                        f"{kind}-{tok}")
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    from rdf_mapper_spark.ops.ann_index import build_ivf_index
+    from rdf_mapper_spark.ops.similarity import centroids
+
+    path = _ann_index_path(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(path, "_ann_meta.json")):
+        build_ivf_index(_t(spark, sf_dir, "embeddings"), path,
+                        centroids(_EMB_DIM, _IVF_CELLS, 7))
+    return path
+
+
+def _ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    from rdf_mapper_spark.ops.ann_index import build_lsh_index
+
+    path = _ann_index_path(sf_dir, "lsh")
+    if not os.path.exists(os.path.join(path, "_ann_meta.json")):
+        build_lsh_index(_t(spark, sf_dir, "embeddings"), path,
+                        dim=_EMB_DIM, n_planes=_ANN_LSH_PLANES,
+                        n_tables=_ANN_LSH_TABLES, seed=42)
+    return path
+
+
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_ivf` over the MATERIALIZED index (ops/ann_index.py): cell
+    assignment is computed once at build time and stored as a parquet
+    partition column; the query probes nprobe cells via a collected IN
+    filter (bounded by n_cells) -> static partition pruning at the scan.
+    Same seeded codebook, same oracle, bit-identical results — this is
+    the layout that amortizes both the full-table re-hash AND the
+    driver-side plan-compile constant across repeated query batches."""
+    from rdf_mapper_spark.ops.ann_index import ivf_topk_indexed
+
+    path = _ensure_ivf_index(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"))
+    return ivf_topk_indexed(spark, path, queries, k=10,
+                            nprobe=_IVF_NPROBE
+                            ).select("qid", "rank", "neighbor")
+
+
+def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_lsh` over the MATERIALIZED index: table-namespaced bucket keys
+    stored as the partition column; only the 5-query batch is hashed at
+    query time (the 24-plane literal tree applies to a dictionary-sized
+    frame), the index scan is pruned to the probed buckets.  Same seeded
+    planes, same oracle, bit-identical results."""
+    from rdf_mapper_spark.ops.ann_index import lsh_topk_indexed
+
+    path = _ensure_lsh_index(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"))
+    return lsh_topk_indexed(spark, path, queries, k=10
+                            ).select("qid", "rank", "neighbor")
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_mapper_spark.ops.text import analyze_documents
 
@@ -1504,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
         "text_analysis": q_text_analysis,
         "text_winnow": q_text_winnow,
         "multimodal_features": q_multimodal_features,
@@ -1544,6 +1617,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _oracle_ann_topk(),
         "ann_lsh": _oracle_ann_lsh(),
         "ann_ivf": _oracle_ann_ivf(),
+        # the indexed variants are bit-identical to their recompute twins
+        # (same seeded codebook/planes), so they share the same oracles
+        "ann_ivf_indexed": _oracle_ann_ivf(),
+        "ann_lsh_indexed": _oracle_ann_lsh(),
         "text_analysis": _oracle_text_analysis(),
         "text_winnow": _oracle_text_winnow(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -67,10 +67,13 @@ def calibrate(spark, rows: int = 10_000_000) -> float:
     return round(time.time() - t0, 3)
 
 
-# best observed 10M-row calibration on this host (2026-08-17, idle VM);
-# host_factor = calib_best / CALIB_REF estimates how much slower the host
-# ran during a given bench invocation
-CALIB_REF = 2.4
+# best observed 10M-row calibration on this host (2026-08-17, idle VM),
+# PER PARALLELISM LEVEL — the overcommitted VM delivers different total
+# throughput at different thread counts (local[8] outruns local[32] on
+# the same probe), so the reference is only meaningful at matching cpus.
+# host_factor = calib_best / CALIB_REF[cpus] estimates how much slower
+# the host ran during a given bench invocation.
+CALIB_REF = {32: 2.35, 8: 1.2}
 
 
 def main() -> None:
@@ -142,11 +145,25 @@ def main() -> None:
         "kg_flagship", "kg_typed_literals", "dedup_minhash_buckets",
         "dedup_simhash", "embedding_near_dups",
         "pricing_summary", "segment_revenue", "ann_topk", "ann_lsh",
+        "ann_lsh_indexed", "ann_ivf_indexed",
         "text_analysis", "text_winnow",
         "kg_incremental", "quality_filter", "web_canonical_urls",
         "decontaminate",
     ]
     queries = entry_mod.queries()
+
+    # Stored-ANN-index builds timed SEPARATELY from the headline loop:
+    # the whole point of the materialized layout is that the build
+    # amortizes over query batches, so the headline rows measure
+    # query-only cost against a pre-built index (fresh build each bench
+    # run — the stale cache is removed first).
+    for kind, ensure in (("ivf", entry_mod._ensure_ivf_index),
+                         ("lsh", entry_mod._ensure_lsh_index)):
+        p = entry_mod._ann_index_path(sf_dir, kind)
+        shutil.rmtree(p, ignore_errors=True)
+        t0 = time.time()
+        ensure(spark, sf_dir)
+        extras[f"ann_index_build_{kind}_sec"] = round(time.time() - t0, 3)
     for name in headline:
         trials = []
         for _ in range(2):
@@ -160,24 +177,26 @@ def main() -> None:
     calib_secs.append(calibrate(spark))
     extras["calib_secs"] = calib_secs
     extras["calib_best"] = min(calib_secs)
-    extras["calib_ref"] = CALIB_REF
-    # >1 = the host delivered fewer cycles than the reference run; divide
-    # raw seconds by this to compare capability across rounds
-    extras["host_factor"] = round(min(calib_secs) / CALIB_REF, 3)
-
+    ref = CALIB_REF.get(cpus)
+    extras["calib_ref"] = ref
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "headline_total_calibrated": round(
-            total / max(min(calib_secs) / CALIB_REF, 1e-9), 3),
         "sf": sf,
         "cpus": cpus,
         "pages": n_pages,
         **extras,
-    }))
+    }
+    if ref is not None:
+        # >1 = the host delivered fewer cycles than the reference run;
+        # divide raw seconds by this to compare capability across rounds
+        hf = round(min(calib_secs) / ref, 3)
+        out["host_factor"] = hf
+        out["headline_total_calibrated"] = round(total / max(hf, 1e-9), 3)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1,0 +1,199 @@
+"""Materialized ANN index layouts: the bucket/cell assignment computed
+ONCE at build time and stored as a parquet PARTITION column, so repeated
+similarity queries are partition-pruned scans instead of full-table
+re-hashes.
+
+`lsh_topk` / `ivf_topk` (ops/similarity.py) recompute every vector's
+bucket/cell per call — correct, but at corpus scale each query batch then
+pays a full scan plus (for LSH) the driver-side analysis of the plane
+expression tree.  The stored layout moves all of that to build time:
+
+* build: one pass over the embedding table evaluating the seeded
+  hash/quantizer expressions, written `partitionBy(<key>)`; the codebook /
+  hyperplane config goes in a sidecar JSON so the query path reproduces
+  the EXACT assignment without re-deriving it.
+* query: compute keys for the (small) query batch only, collect the
+  DISTINCT probe keys — bounded by the number of partitions (<= n_cells,
+  resp. n_tables * 2^n_planes), NOT by query count — and push them as an
+  IN filter, which Spark turns into static partition pruning at the scan
+  (asserted in tests/test_ann_index.py).  The probe join itself
+  broadcasts the query side.
+
+At 100 TB: the index is the table (cell/bucket = directory), a probe
+touches ~nprobe/n_cells of the files, and the build cost amortizes over
+every subsequent query batch.  Results are bit-identical to the
+recompute-path operators given the same codebook/planes — both indexed
+queries are value-checked against the SAME DuckDB oracles as their
+non-indexed twins (__spark_entry__.py ann_ivf_indexed / ann_lsh_indexed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.ops.similarity import (
+    _bucket_sql,
+    _cell_dots_sql,
+    _sql_quote,
+    cosine_expr,
+    hyperplanes,
+)
+
+_META = "_ann_meta.json"
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+
+
+def read_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# IVF: one cell per vector, partitioned by cell
+# ---------------------------------------------------------------------------
+def build_ivf_index(embeddings: DataFrame, path: str,
+                    cells: list[list[float]],
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> dict:
+    """Assign every vector its best coarse cell (argmax dot — identical
+    rule to `ivf_topk`) and write `partitionBy("cell")`.  NULL/empty
+    vectors are excluded (they belong to no cell).  Returns the metadata
+    also persisted beside the data."""
+    dots = _cell_dots_sql(vec_col, cells)
+    assigned = (
+        embeddings
+        .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+            F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
+            .alias("cell"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = {"kind": "ivf", "cells": cells, "dim": len(cells[0]),
+            "n_cells": len(cells)}
+    _write_meta(path, meta)
+    return meta
+
+
+def ivf_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
+                     k: int = 10, nprobe: int = 4) -> DataFrame:
+    """Top-k over a stored IVF index: probe-cell computation touches only
+    the query batch; the index scan carries `cell IN (<probe cells>)`,
+    i.e. static partition pruning — the collected key set is bounded by
+    n_cells regardless of how many queries are in the batch."""
+    meta = read_meta(path)
+    cells, n_cells = meta["cells"], meta["n_cells"]
+    dots_q = _cell_dots_sql("qvec", cells)
+    probe_sql = (
+        f"transform(slice(array_sort(transform(sequence(1, {n_cells}), "
+        f"i -> named_struct('nd', -element_at({dots_q}, i), 'idx', i))), "
+        f"1, {nprobe}), s -> s.idx)"
+    )
+    q_c = queries.select(
+        "qid", "qvec", F.explode(F.expr(probe_sql)).alias("cell"),
+    )
+    # distinct probe cells: <= n_cells rows however large the query batch
+    probe_cells = [r.cell for r in q_c.select("cell").distinct().collect()]
+    index = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    cand = index.join(F.broadcast(q_c), "cell").where(
+        F.col("vec_id") != F.col("qid")
+    )
+    return _rank(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# LSH: L table-namespaced bucket keys per vector, partitioned by bucket
+# ---------------------------------------------------------------------------
+def build_lsh_index(embeddings: DataFrame, path: str, dim: int,
+                    n_planes: int = 6, n_tables: int = 4, seed: int = 42,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> dict:
+    """Hash every vector into its bucket in each of L seeded hyperplane
+    tables (identical keys to `lsh_topk`: bucket = t * 2^n_planes + sign
+    pattern) and write the exploded (vec_id, v, bucket) rows
+    `partitionBy("bucket")`.  Lx storage — the classical LSH
+    space-for-recall trade, now paid once at build instead of per query."""
+    tables = [hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
+    width = 1 << n_planes
+    keys = ", ".join(
+        _bucket_sql(_sql_quote(vec_col), tables[t], t * width)
+        for t in range(n_tables)
+    )
+    exploded = (
+        embeddings
+        .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+            F.explode(F.expr(f"array({keys})")).alias("bucket"),
+        )
+    )
+    exploded.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    meta = {"kind": "lsh", "dim": dim, "n_planes": n_planes,
+            "n_tables": n_tables, "seed": seed}
+    _write_meta(path, meta)
+    return meta
+
+
+def lsh_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
+                     k: int = 10, multiprobe: bool = True) -> DataFrame:
+    """Top-k over a stored LSH index.  Only the query batch is hashed at
+    query time (the expensive plane-literal expression applies to a
+    dictionary-sized frame); the index scan is pruned to the probed
+    buckets — distinct probe keys are bounded by n_tables * 2^n_planes."""
+    meta = read_meta(path)
+    dim, n_planes = meta["dim"], meta["n_planes"]
+    n_tables, seed = meta["n_tables"], meta["seed"]
+    tables = [hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
+    width = 1 << n_planes
+    keys = ", ".join(
+        _bucket_sql(_sql_quote("qvec"), tables[t], t * width)
+        for t in range(n_tables)
+    )
+    qbase = queries.select(
+        "qid", "qvec", F.posexplode(F.expr(f"array({keys})")).alias("t", "b0")
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("b0"),
+            *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q_b = qbase.select("qid", "qvec", F.explode(probes).alias("bucket"))
+    else:
+        q_b = qbase.select("qid", "qvec", F.col("b0").alias("bucket"))
+    probe_buckets = [r.bucket
+                     for r in q_b.select("bucket").distinct().collect()]
+    index = spark.read.parquet(path).where(
+        F.col("bucket").isin(probe_buckets))
+    cand = (
+        index.join(F.broadcast(q_b), "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        # union of L tables (and multiprobe hits): score each pair once
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    return _rank(cand, k)
+
+
+def _rank(cand: DataFrame, k: int) -> DataFrame:
+    scored = cand.select(
+        "qid", F.col("vec_id").alias("neighbor"),
+        F.round(cosine_expr(F.col("v"), F.col("qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor", "cosine")
+    )

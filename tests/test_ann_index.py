@@ -1,0 +1,99 @@
+"""Stored ANN index layouts (ops/ann_index.py): build-once /
+partition-pruned query, equal to the recompute-path operators."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from rdf_mapper_spark.ops.ann_index import (
+    build_ivf_index,
+    build_lsh_index,
+    ivf_topk_indexed,
+    lsh_topk_indexed,
+    read_meta,
+)
+from rdf_mapper_spark.ops.similarity import centroids, ivf_topk, lsh_topk
+
+SCHEMA = StructType([
+    StructField("vec_id", LongType(), False),
+    StructField("embedding", ArrayType(FloatType()), True),
+])
+DIM = 8
+
+
+def _emb(spark, n=120):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(DIM)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _queries(emb):
+    return emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+
+
+def _rows(df):
+    return sorted((r.qid, r.rank, r.neighbor) for r in df.collect())
+
+
+def test_ivf_indexed_equals_recompute(spark, tmp_path):
+    emb = _emb(spark)
+    cells = centroids(DIM, 8, seed=7)
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb, path, cells)
+    assert read_meta(path)["n_cells"] == 8 and meta["dim"] == DIM
+    got = ivf_topk_indexed(spark, path, _queries(emb), k=5, nprobe=3)
+    want = ivf_topk(emb, _queries(emb), k=5, n_cells=8, nprobe=3,
+                    dim=DIM, cells=cells)
+    assert _rows(got) == _rows(want)
+
+
+def test_lsh_indexed_equals_recompute(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "lsh")
+    build_lsh_index(emb, path, dim=DIM, n_planes=4, n_tables=2, seed=42)
+    got = lsh_topk_indexed(spark, path, _queries(emb), k=5)
+    want = lsh_topk(emb, _queries(emb), k=5, n_planes=4, n_tables=2,
+                    seed=42, dim=DIM)
+    assert _rows(got) == _rows(want)
+
+
+def test_ivf_index_scan_is_partition_pruned(spark, tmp_path):
+    """The probe must touch only the probed cells' files — the property
+    that makes the stored layout the 100-TB shape (scan fraction ~
+    nprobe/n_cells, NOT a full re-hash scan)."""
+    emb = _emb(spark)
+    cells = centroids(DIM, 8, seed=7)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, cells)
+    full = spark.read.parquet(path)
+    pruned = full.where(F.col("cell").isin([1, 2]))
+    # the physical scan carries a partition filter, not a post-filter
+    # (inputFiles() reports the unfiltered FileIndex, so read the scan
+    # node's numFiles metric after execution instead)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+
+    def files_read(df):
+        df.collect()  # count() would build a NEW QueryExecution
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        scan = leaves.head()
+        return scan.metrics().apply("numFiles").value()
+
+    assert 0 < files_read(pruned) < files_read(full)
+
+
+def test_index_excludes_null_and_empty_vectors(spark, tmp_path):
+    rows = [(0, [1.0] * DIM), (1, None), (2, [])]
+    emb = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroids(DIM, 2, seed=7))
+    assert [r.vec_id for r in spark.read.parquet(path).collect()] == [0]
