@@ -174,6 +174,83 @@ def main() -> None:
         extras[f"{name}_trials"] = trials
         extras[f"{name}_rows"] = n
 
+    # --- planted hot-key skew stress --------------------------------------
+    # The north rule's pathological case, measured instead of asserted:
+    # (a) ONE entity planted in ~10% of pages through the full KG pipeline
+    #     (linking fan-out + canonicalize + salted dedup absorb the key);
+    # (b) ONE boilerplate passage planted in ~10% of documents through
+    #     winnow_pairs with the max_df kill-switch on (the guard bounds the
+    #     O(df^2) bucket; its recall cost is measured against the exact
+    #     no-guard run on the same skewed input).
+    from pyspark.sql import functions as F
+
+    from rdf_mapper_spark.ops.dedup import winnow_pairs
+
+    skew: dict = {}
+    hot_dir = os.path.join(tempfile.gettempdir(), "bench_pages_hot")
+    shutil.rmtree(hot_dir, ignore_errors=True)
+    make_pages(spark, n_pages, n_entities=2000,
+               hot_entity_frac=0.10).write.parquet(hot_dir)
+    hot_pages = spark.read.parquet(hot_dir)
+    hot_trials = []
+    for _ in range(2):
+        t0 = time.time()
+        hot_metrics = run_pipeline(spark, hot_pages, aliases, workdir=None,
+                                   materialize=False)
+        hot_trials.append(round(time.time() - t0, 3))
+    skew["kg_pipeline_hot_entity"] = {
+        "hot_frac": 0.10,
+        "trials": hot_trials,
+        "sec": min(hot_trials),
+        "uniform_sec": timings["kg_pipeline"],
+        "ratio_vs_uniform": round(
+            min(hot_trials) / timings["kg_pipeline"], 3),
+        "triples": hot_metrics["triples"],
+    }
+    shutil.rmtree(hot_dir, ignore_errors=True)
+
+    boiler = ("subscribe to our newsletter for daily updates terms of "
+              "service and privacy policy apply to every visitor of "
+              "this site")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs_hot = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(" " + boiler)))
+        .otherwise(F.col("text")),
+    )
+    # cap at 2% of the corpus (min 8) so the 10% boilerplate fp is over
+    # the cap at every SF — production uses an absolute few hundred
+    max_df = max(8, docs.count() // 50)
+    t0 = time.time()
+    n_uniform = winnow_pairs(docs, max_df=max_df).count()
+    wu = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_guarded = winnow_pairs(docs_hot, max_df=max_df).count()
+    wh = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_exact = winnow_pairs(docs_hot).count()  # no guard: O(df^2) bucket
+    we = round(time.time() - t0, 3)
+    skew["winnow_boilerplate"] = {
+        "hot_frac": 0.10,
+        "max_df": max_df,
+        "uniform_sec": wu,
+        "guarded_sec": wh,
+        "exact_sec": we,
+        "ratio_guarded_vs_uniform": round(wh / wu, 3) if wu else None,
+        "pairs_uniform": n_uniform,
+        "pairs_guarded": n_guarded,
+        "pairs_exact": n_exact,
+        # pairs the guard sacrifices — by construction these are
+        # boilerplate-only overlaps (real near-dups share rare fps too)
+        "guard_recall_vs_exact": round(n_guarded / n_exact, 4)
+        if n_exact else None,
+        # the REAL near-dup pairs are the ones the un-planted corpus has;
+        # the guard must keep all of them while shedding the planted ones
+        "real_pairs_preserved": n_guarded == n_uniform,
+    }
+    extras["skew"] = skew
+
     calib_secs.append(calibrate(spark))
     extras["calib_secs"] = calib_secs
     extras["calib_best"] = min(calib_secs)

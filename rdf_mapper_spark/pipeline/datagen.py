@@ -42,8 +42,15 @@ def _entity_mention(seed_col: Column, n_entities: int, salt: int) -> Column:
 
 
 def make_pages(spark: SparkSession, n_pages: int, n_entities: int = 500,
-               seed: int = 42, partitions: int | None = None) -> DataFrame:
-    """Synthesize the pages table; deterministic in (n_pages, n_entities, seed)."""
+               seed: int = 42, partitions: int | None = None,
+               hot_entity_frac: float | None = None,
+               hot_entity: str = "Entity1") -> DataFrame:
+    """Synthesize the pages table; deterministic in (n_pages, n_entities, seed).
+
+    ``hot_entity_frac`` plants a HOT KEY for skew stress benches: that
+    fraction of pages gets its first mention replaced by ``hot_entity``,
+    so one entity dominates the mention stream (the north rule's
+    pathological-key case) while everything else stays identical."""
     base = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
     s = F.xxhash64(i, F.lit(seed))
@@ -56,6 +63,10 @@ def make_pages(spark: SparkSession, n_pages: int, n_entities: int = 500,
         _entity_mention(s, n_entities, 202),
         _entity_mention(s, n_entities, 303),
     ]
+    if hot_entity_frac is not None:
+        cut = int(hot_entity_frac * 1_000_000)
+        is_hot = F.pmod(F.xxhash64(i, F.lit(4242)), F.lit(1_000_000)) < cut
+        mentions[0] = F.when(is_hot, F.lit(hot_entity)).otherwise(mentions[0])
     text = F.concat_ws(
         " ",
         *words[:6], mentions[0], *words[6:10], mentions[1],

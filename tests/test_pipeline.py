@@ -177,3 +177,17 @@ def test_jvm_extractor_matches_reference_fuzz(spark):
         assert got == want
 
     run()
+
+
+def test_make_pages_hot_entity_plant(spark):
+    from pyspark.sql import functions as F
+
+    hot = make_pages(spark, 1000, n_entities=50, hot_entity_frac=0.10,
+                     hot_entity="Entity1")
+    n_hot = hot.where(F.col("text").rlike(r"\bEntity1\b")).count()
+    # ~10% planted (plus natural Entity1 occurrences); deterministic
+    assert 80 <= n_hot <= 250
+    again = make_pages(spark, 1000, n_entities=50, hot_entity_frac=0.10,
+                       hot_entity="Entity1")
+    assert hot.select("url", "text").exceptAll(
+        again.select("url", "text")).count() == 0
