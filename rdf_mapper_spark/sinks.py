@@ -216,9 +216,12 @@ class IcebergMergeSink(QuadSink):
         gets from dedup + overwrite).
 
     The sandbox has no Iceberg runtime, so ``statements()`` exposes the
-    generated SQL for text-level verification; ``write()`` executes them
-    via ``spark.sql`` when a catalog provides the table.  Untouched graphs
-    are never scanned or rewritten: each statement is pinned to one graph
+    generated SQL; ``write()`` executes them via ``spark.sql`` when a
+    catalog provides the table.  The statements' SEMANTICS are executed
+    in tests against an in-memory quad store (merge_apply.py: null-safe
+    ON matching, per-statement atomicity) — old store + script ==
+    expected snapshot, not just text assertions.  Untouched graphs are
+    never scanned or rewritten: each statement is pinned to one graph
     value, which Iceberg prunes to that partition's files.
     """
 
