@@ -96,26 +96,88 @@ _DT_FORMATS = (
     "%d/%m/%Y",
     "%Y/%m/%d",
     "%Y%m%d",
+    # round-4 broadening toward dateparser's common-format corpus: the
+    # `dates` extra still wins when installed; these keep sandbox parity
+    # for the formats web data actually carries
+    "%B %d, %Y %I:%M%p",
+    "%B %d, %Y %H:%M",
+    "%B %d, %Y",
+    "%b %d, %Y",
+    "%d %B %Y %I:%M%p",
+    "%d %B, %Y",
+    "%d.%m.%Y %H:%M",
+    "%d.%m.%Y",
+    "%Y.%m.%d",
+    "%d/%m/%Y %H:%M",
+    "%a, %d %b %Y %H:%M:%S",
+    "%a %b %d %Y",
+    "%Y-%m",
 )
+
+# month-name translation for the languages this repo routes elsewhere
+# (fr/de/es -> English), so '5 mai 2021' / '3. Oktober 2021' /
+# '12 de enero de 2021' parse without dateparser.  Names identical to
+# English (april, august, ...) map to themselves harmlessly.
+_MONTHS_I18N = {
+    "janvier": "January", "février": "February", "fevrier": "February",
+    "mars": "March", "avril": "April", "mai": "May", "juin": "June",
+    "juillet": "July", "août": "August", "aout": "August",
+    "septembre": "September", "octobre": "October", "novembre": "November",
+    "décembre": "December", "decembre": "December",
+    "januar": "January", "februar": "February", "märz": "March",
+    "maerz": "March", "marz": "March", "juni": "June", "juli": "July",
+    "oktober": "October", "dezember": "December",
+    "enero": "January", "febrero": "February", "marzo": "March",
+    "abril": "April", "mayo": "May", "junio": "June", "julio": "July",
+    "agosto": "August", "septiembre": "September", "octubre": "October",
+    "noviembre": "November", "diciembre": "December",
+}
+
+_ORDINAL_RX = re.compile(r"\b(\d{1,2})(?:st|nd|rd|th)\b", re.IGNORECASE)
+_OF_RX = re.compile(r"\b(?:of|de|del)\b\s*", re.IGNORECASE)
+
+
+def _normalize_datestr(s: str) -> str:
+    """Deterministic pre-pass: ordinal suffixes stripped ('3rd' -> '3'),
+    filler 'of'/'de' dropped, fr/de/es month names mapped to English,
+    whitespace collapsed."""
+    s = _ORDINAL_RX.sub(r"\1", s)
+    s = _OF_RX.sub("", s)
+    toks = []
+    for t in s.replace(",", " , ").split():
+        key = t.strip(".").lower()
+        if key in _MONTHS_I18N:
+            toks.append(_MONTHS_I18N[key])
+        elif t.endswith(".") and t[:-1].isdigit():
+            toks.append(t[:-1])  # German ordinal day: '3. Oktober'
+        else:
+            toks.append(t)
+    s = " ".join(toks).replace(" , ", ", ")
+    return s
 
 
 def parse_datetime(s: str) -> _dt.datetime | None:
     if _dateparser is not None:  # pragma: no cover
         return _dateparser.parse(s)
-    s = s.strip()
-    for fmt in _DT_FORMATS:
-        try:
-            return _dt.datetime.strptime(s, fmt)
-        except ValueError:
-            continue
-    try:  # last resort: pandas' flexible parser (still deterministic)
-        import pandas as pd
+    candidates = [s.strip()]
+    norm = _normalize_datestr(s.strip())
+    if norm != candidates[0]:
+        candidates.append(norm)
+    for cand in candidates:
+        for fmt in _DT_FORMATS:
+            try:
+                return _dt.datetime.strptime(cand, fmt)
+            except ValueError:
+                continue
+    for cand in candidates:
+        try:  # last resort: pandas' flexible parser (still deterministic)
+            import pandas as pd
 
-        ts = pd.to_datetime(s)
-        if ts is not None and ts is not pd.NaT:
-            return ts.to_pydatetime()
-    except Exception:
-        pass
+            ts = pd.to_datetime(cand)
+            if ts is not None and ts is not pd.NaT:
+                return ts.to_pydatetime()
+        except Exception:
+            pass
     return None
 
 

@@ -32,7 +32,10 @@ def write_graph_tables(quads: DataFrame, path: str,
     overwrite; no rewrite of untouched graphs.
     """
     (
-        quads.withColumn("g", quads["g"])
+        # cast keeps the partition column STRING even when every graph is
+        # NULL — an all-default-graph store read back from a partitioned
+        # layout otherwise infers g as VOID, which cannot partition again
+        quads.withColumn("g", quads["g"].cast("string"))
         .write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("g")

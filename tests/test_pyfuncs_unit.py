@@ -155,3 +155,33 @@ def test_parse_datetime_dateparser_parity():
     from rdf_mapper_spark.pyfuncs import parse_datetime
 
     assert parse_datetime("3rd of May 2021") == dt.datetime(2021, 5, 3)
+
+
+def test_parse_datetime_broadened_formats():
+    """Round-4 broadening of the sandbox fallback toward dateparser's
+    common-format corpus: ordinals, comma forms, dotted European dates,
+    RFC-2822-ish strings, year-month, and fr/de/es month names."""
+    import datetime as dt
+
+    from rdf_mapper_spark.pyfuncs import parse_datetime
+
+    cases = {
+        "May 3, 2021": dt.datetime(2021, 5, 3),
+        "May 3rd, 2021": dt.datetime(2021, 5, 3),
+        "3 May, 2021": dt.datetime(2021, 5, 3),
+        "03.05.2021": dt.datetime(2021, 5, 3),
+        "3.5.2021": dt.datetime(2021, 5, 3),
+        "03.05.2021 16:15": dt.datetime(2021, 5, 3, 16, 15),
+        "2021.05.03": dt.datetime(2021, 5, 3),
+        "Mon, 3 May 2021 16:15:00": dt.datetime(2021, 5, 3, 16, 15),
+        "2021-05": dt.datetime(2021, 5, 1),
+        "5 mai 2021": dt.datetime(2021, 5, 5),
+        "3. Oktober 2021": dt.datetime(2021, 10, 3),
+        "12 de enero de 2021": dt.datetime(2021, 1, 12),
+        "1er janvier 2022": None,  # French ordinal: out of scope, not wrong
+    }
+    for s, want in cases.items():
+        got = parse_datetime(s)
+        if want is None:
+            continue
+        assert got == want, (s, got)
