@@ -745,6 +745,42 @@ SELECT id_a, id_b, j AS jaccard FROM ver WHERE j >= 0.5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: minhash near-dup pairs -> connected components ->
+    deterministic survivor (min doc_id per cluster), singletons keep
+    themselves.  Components via pipeline/canonicalize.connected_components
+    (driver union-find under the edge threshold — near-dup edge sets track
+    the duplication rate, not the corpus — min-label + pointer jumping
+    above it)."""
+    from rdf_mapper_spark.ops.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=_MINHASH_HASHES,
+                              bands=_MINHASH_BANDS, n=1,
+                              verify_threshold=0.5)
+    return dedup_clusters(docs, pairs)
+
+
+def _oracle_dedup_clusters() -> str:
+    """Transitive closure via WITH RECURSIVE over the SAME pair SQL the
+    dedup_minhash_pairs oracle uses; min reachable id = component min."""
+    pairs_sql = _oracle_dedup_minhash_pairs().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({pairs_sql})),
+edges AS (SELECT id_a src, id_b dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+ids AS (SELECT doc_id id FROM documents),
+reach(id, r) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT id AS doc_id, MIN(r) AS canonical_id,
+       MIN(r) = id AS keep
+FROM reach GROUP BY id
+"""
+
+
 ROW_GRAPHS_SPEC = {
     "globals": {"$datasetBase": KGB},
     "resources": [{
@@ -1569,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_buckets": q_dedup_minhash_buckets,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "kg_row_graphs": q_kg_row_graphs,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1611,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _oracle_dedup_jaccard(),
         "dedup_minhash_buckets": _oracle_dedup_minhash_buckets(),
         "dedup_minhash_pairs": _oracle_dedup_minhash_pairs(),
+        "dedup_clusters": _oracle_dedup_clusters(),
         "kg_row_graphs": _oracle_kg_row_graphs(),
         "dedup_simhash": _oracle_dedup_simhash(),
         "embedding_near_dups": _oracle_embedding_near_dups(),

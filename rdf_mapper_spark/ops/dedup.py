@@ -549,3 +549,39 @@ def winnow_pairs(docs: DataFrame, min_shared: int = 2, k: int = 5,
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> components -> canonical survivor
+# ---------------------------------------------------------------------------
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, canonical_id, keep): the dedup ACTION a training-data
+    pipeline takes after any pair operator (minhash/simhash/jaccard/
+    winnow/embedding near-dups).
+
+    Near-duplication is transitive in effect (A~B, B~C => keep one of
+    {A,B,C}), so pairs are clustered with connected components
+    (pipeline/canonicalize.connected_components: driver union-find below
+    the edge threshold, min-label + pointer-jumping loop above it) and the
+    survivor is the MINIMUM id per component — deterministic, so re-runs
+    keep the same documents.  Docs in no pair keep themselves via the
+    left join (the common case: the join adds no shuffle beyond the
+    component map, which is bounded by the near-dup rate, not the corpus).
+
+    Downstream: `docs.join(clusters.where("keep"), id_col, "left_semi")`
+    — or keep the full map to REDIRECT references onto survivors, the
+    same shape entity canonicalization uses for IRIs."""
+    from rdf_mapper_spark.pipeline.canonicalize import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("node").alias(id_col), F.col("comp").alias("__canon"))
+    out = docs.select(id_col).join(comp, id_col, "left")
+    canonical = F.coalesce(F.col("__canon"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        canonical.alias("canonical_id"),
+        (canonical == F.col(id_col)).alias("keep"),
+    )

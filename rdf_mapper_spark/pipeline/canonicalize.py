@@ -40,7 +40,8 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
     if driver_threshold > 0:
         sample = edges.limit(driver_threshold + 1).collect()
         if len(sample) <= driver_threshold:
-            return _driver_union_find(spark, sample)
+            return _driver_union_find(spark, sample,
+                                      edges.schema["src"].dataType)
     bidir = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -87,10 +88,15 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
     return labels
 
 
-def _driver_union_find(spark, edge_rows) -> DataFrame:
-    parent: dict[str, str] = {}
+def _driver_union_find(spark, edge_rows, node_type=None) -> DataFrame:
+    """Union-find on the driver; node/comp keep the EDGE COLUMN TYPE so
+    min semantics match the distributed path (numeric min for numeric ids,
+    lexicographic for strings)."""
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    def find(x: str) -> str:
+    parent: dict = {}
+
+    def find(x):
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -106,7 +112,9 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "node string, comp string")
+    nt = node_type or StringType()
+    schema = StructType([StructField("node", nt), StructField("comp", nt)])
+    return spark.createDataFrame(rows, schema)
 
 
 def sameas_edges_from_aliases(aliases: DataFrame) -> DataFrame:

@@ -245,3 +245,27 @@ def test_jaccard_stop_shingle_filter_keeps_true_pairs(spark):
     assert (1, 2) in filtered
     assert filtered[(1, 2)] == exact[(1, 2)]  # TRUE jaccard incl. stop
     assert set(filtered) == set(exact)
+
+
+def test_dedup_clusters_transitive_and_numeric_min(spark):
+    """Pairs (9,10), (10,11) must collapse into ONE cluster with NUMERIC
+    canonical 9 (a lexicographic min would pick '10'); singletons keep
+    themselves; determinism across re-runs."""
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    from rdf_mapper_spark.ops.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (2, 9, 10, 11, 30)],
+        StructType([StructField("doc_id", LongType(), False)]))
+    pairs = spark.createDataFrame(
+        [(9, 10), (10, 11)],
+        StructType([StructField("id_a", LongType(), False),
+                    StructField("id_b", LongType(), False)]))
+    out = {r.doc_id: (r.canonical_id, r.keep)
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {2: (2, True), 9: (9, True), 10: (9, False),
+                   11: (9, False), 30: (30, True)}
+    again = {r.doc_id: (r.canonical_id, r.keep)
+             for r in dedup_clusters(docs, pairs).collect()}
+    assert out == again
