@@ -1146,6 +1146,164 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ).select("qid", "rank", "neighbor")
 
 
+_MIX_FRACTIONS = {"en": 0.8, "fr": 0.5, "de": 0.3}
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training-mix sample
+    (ops/sampling.stratified_sample): per-language keep rates, membership
+    a pure function of (seed, doc_id) via md5 — identical across re-runs,
+    partitionings and engines (the oracle checks MEMBERSHIP, not counts).
+    Pure projection + filter; the scan absorbs it."""
+    from rdf_mapper_spark.ops.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", _MIX_FRACTIONS,
+                             default_fraction=0.1, seed=7
+                             ).select("doc_id", "lang")
+
+
+def _oracle_corpus_sample() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v!r}"
+        for k, v in sorted(_MIX_FRACTIONS.items())
+    )
+    u = ("(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+         "::BIGINT * 1.0 / 1152921504606846976)")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {u} < (CASE {cases} ELSE 0.1 END)
+"""
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (ops/text.repetition_metrics) over
+    deterministically line-laced docs: every doc gets a unique line plus
+    1 + doc_id%3 copies of a boilerplate line, so dup-line and top-n-gram
+    fractions have known structure.  Keyed (doc_id, line|gram) aggregates
+    with map-side partials — the shuffle shape that survives corpus
+    scale."""
+    from rdf_mapper_spark.ops.text import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    laced = F.array_join(
+        F.concat(
+            F.array(F.col("text")),
+            F.array_repeat(F.lit("click here to subscribe now"),
+                           (doc_id % 3 + 1).cast("int")),
+        ), "\n")
+    return repetition_metrics(d.select("doc_id", laced.alias("text")))
+
+
+def _oracle_repetition_metrics() -> str:
+    lace = (
+        "array_to_string(list_concat([text], list_transform("
+        "generate_series(1, 1 + CAST(doc_id % 3 AS INT)), "
+        "i -> 'click here to subscribe now')), chr(10))"
+    )
+    toks = ("list_filter(regexp_split_to_array(lower(s), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+
+    def topn(n: int) -> str:
+        return f"""
+g{n} AS (SELECT doc_id, unnest(list_transform(
+          generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+          i -> array_to_string(toks[i:i+{n - 1}], ' '))) gram FROM tok),
+pg{n} AS (SELECT doc_id, gram, COUNT(*) c FROM g{n} GROUP BY doc_id, gram),
+top{n} AS (SELECT doc_id, c * length(gram) top FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY c DESC, gram ASC) rk FROM pg{n}) WHERE rk = 1)"""
+
+    return f"""
+WITH t AS (SELECT doc_id, {lace} AS s FROM documents),
+tot AS (SELECT doc_id, length(s) n_chars FROM t),
+l AS (SELECT doc_id, unnest(list_filter(string_split(s, chr(10)),
+       x -> x <> '')) line FROM t),
+pl AS (SELECT doc_id, line, COUNT(*) c FROM l GROUP BY doc_id, line),
+ls AS (SELECT doc_id,
+        (SUM(c) - COUNT(*)) * 1.0 / SUM(c) dup_line_frac,
+        SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) * 1.0 /
+        SUM(c * length(line)) dup_line_char_frac
+       FROM pl GROUP BY doc_id),
+tok AS (SELECT doc_id, {toks} toks FROM t),
+{topn(2)},
+{topn(3)}
+SELECT tot.doc_id,
+       ROUND(COALESCE(dup_line_frac, 0), 4) dup_line_frac,
+       ROUND(COALESCE(dup_line_char_frac, 0), 4) dup_line_char_frac,
+       ROUND(CASE WHEN n_chars > 0
+             THEN COALESCE(top2.top, 0) * 1.0 / n_chars ELSE 0 END, 4)
+         top_2gram_char_frac,
+       ROUND(CASE WHEN n_chars > 0
+             THEN COALESCE(top3.top, 0) * 1.0 / n_chars ELSE 0 END, 4)
+         top_3gram_char_frac
+FROM tot LEFT JOIN ls USING (doc_id)
+LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (ops/text.redact_pii): deterministic PII lacing per doc
+    (email always; phone/ipv4/ssn on modular buckets), then the ordered
+    regexp redaction chain + per-kind counts.  The order is load-bearing
+    (emails before phones — an email's digit runs must not count as a
+    phone; ipv4 before phone — dotted quads match the phone shape) and
+    the whole stage is one codegen projection, zero Python, zero
+    shuffle."""
+    from rdf_mapper_spark.ops.text import scrub_documents
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    laced = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), doc_id.cast("string"),
+        F.lit("@example.com"),
+        F.when(doc_id % 2 == 0,
+               F.concat(F.lit(" call 415-555-"),
+                        F.lpad((doc_id % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 3 == 0,
+               F.concat(F.lit(" from 10.0."),
+                        (doc_id % 256).cast("string"), F.lit(".1")))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit(" ssn 123-45-6789"))
+        .otherwise(F.lit("")),
+    )
+    return scrub_documents(d.select("doc_id", laced.alias("text")))
+
+
+def _oracle_pii_scrub() -> str:
+    from rdf_mapper_spark.ops.text import PII_ORDER, PII_PATTERNS
+
+    lace = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com' || "
+        "CASE WHEN doc_id % 2 = 0 THEN ' call 415-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+    )
+    ctes = [f"t0 AS (SELECT doc_id, {lace} AS s FROM documents)"]
+    counts = []
+    for i, kind in enumerate(PII_ORDER):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        ctes.append(
+            f"t{i + 1} AS (SELECT doc_id, "
+            f"regexp_replace(s, '{pat}', '<{kind.upper()}>', 'g') AS s, "
+            f"len(regexp_extract_all(s, '{pat}')) AS n_{kind}"
+            + "".join(f", n_{k}" for k in PII_ORDER[:i])
+            + f" FROM t{i})"
+        )
+        counts.append(f"n_{kind}")
+    n = len(PII_ORDER)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, s AS clean_text, {', '.join(counts)} FROM t{n}"
+    )
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_mapper_spark.ops.text import analyze_documents
 
@@ -1614,6 +1772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ann_lsh_indexed": q_ann_lsh_indexed,
+        "pii_scrub": q_pii_scrub,
+        "repetition_metrics": q_repetition_metrics,
+        "corpus_sample": q_corpus_sample,
         "text_analysis": q_text_analysis,
         "text_winnow": q_text_winnow,
         "multimodal_features": q_multimodal_features,
@@ -1659,6 +1820,9 @@ def oracle_sql() -> dict[str, str]:
         # (same seeded codebook/planes), so they share the same oracles
         "ann_ivf_indexed": _oracle_ann_ivf(),
         "ann_lsh_indexed": _oracle_ann_lsh(),
+        "pii_scrub": _oracle_pii_scrub(),
+        "repetition_metrics": _oracle_repetition_metrics(),
+        "corpus_sample": _oracle_corpus_sample(),
         "text_analysis": _oracle_text_analysis(),
         "text_winnow": _oracle_text_winnow(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -306,3 +306,140 @@ def filter_documents(docs: DataFrame, text_col: str = "text",
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+# Patterns are deliberately RE2-compatible (no lookarounds, no backrefs):
+# they run identically under Java regex (Spark), RE2 (DuckDB oracles) and
+# production regex services.  Conservative by design — the phone pattern
+# requires punctuation-joined digit runs rather than matching any long
+# number, trading recall for a near-zero false-positive rate on prices,
+# years and ids (the standard web-pipeline trade; cf. the public C4/CCNet
+# cleanup recipes).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9().-]{6,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+# redaction order matters: emails first (their local/domain parts contain
+# digit runs the phone/ip patterns could shred), then structured ids
+PII_ORDER = ("email", "ssn", "ipv4", "phone")
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] = PII_ORDER) -> Column:
+    """Replace each PII match with ``<KIND>`` — one codegen'd
+    regexp_replace chain, zero Python, zero shuffle."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind],
+                               f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: Column, kinds: tuple[str, ...] = PII_ORDER) -> Column:
+    """struct of per-kind match counts (audit/metrics side of the scrub).
+
+    Counts are taken on the PROGRESSIVELY REDACTED text in the same order
+    `redact_pii` applies, so a token is attributed to exactly one kind
+    (an email's digits never also count as a phone)."""
+    fields = []
+    cur = text
+    for kind in kinds:
+        fields.append(
+            F.coalesce(F.regexp_count(cur, F.lit(PII_PATTERNS[kind])),
+                       F.lit(0)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, PII_PATTERNS[kind],
+                               f"<{kind.upper()}>")
+    return F.struct(*fields)
+
+
+def scrub_documents(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, clean_text, n_email, n_ssn, n_ipv4, n_phone) — the
+    PII-scrub stage of a training-data pipeline.  Map-only; at corpus
+    scale the scan absorbs it entirely."""
+    counts = pii_counts(F.col(text_col))
+    return docs.withColumn("__c", counts).select(
+        F.col(id_col),
+        redact_pii(F.col(text_col)).alias("clean_text"),
+        *[F.col("__c")[f"n_{k}"].alias(f"n_{k}") for k in PII_ORDER],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style repetition rules)
+# ---------------------------------------------------------------------------
+def repetition_metrics(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       ngram_sizes: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition-rule
+    family): -> (doc_id, dup_line_frac, dup_line_char_frac,
+    top_{n}gram_char_frac ...).
+
+      * dup_line_frac — fraction of lines that are repeats of an earlier
+        line ((total - distinct) / total);
+      * dup_line_char_frac — fraction of line characters living in lines
+        that occur more than once;
+      * top_{n}gram_char_frac — characters covered by the single most
+        frequent word n-gram (count * len(gram)) over the document's
+        total characters; ties broken by gram ascending so the metric is
+        deterministic.
+
+    Shape: explode + two-level aggregation per signal, keyed by
+    (doc_id, line|gram) — uniform keys with map-side partial aggregation,
+    the well-behaved shuffle.  A pure-HOF per-row formulation would save
+    the shuffle but pays O(n log n) interpreted sorts per row and cannot
+    share codegen; at corpus scale the keyed aggregate is the plan that
+    survives (same shape the public Gopher/RefinedWeb pipelines use).
+    Thresholding is the caller's policy (e.g. drop at dup_line_frac >
+    0.30, top_2gram_char_frac > 0.20)."""
+    from pyspark.sql import Window
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    total = base.select("id", F.length("t").alias("n_chars"))
+
+    lines = base.select(
+        "id",
+        F.explode(F.filter(F.split("t", "\n"), lambda x: x != ""))
+        .alias("line"),
+    )
+    per_line = lines.groupBy("id", "line").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy("id").agg(
+        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("dup_line_frac"),
+        (F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line"))
+               .otherwise(F.lit(0)))
+         / F.sum(F.col("c") * F.length("line"))).alias("dup_line_char_frac"),
+    )
+
+    out = total.join(line_stats, "id", "left")
+    for n in ngram_sizes:
+        grams = base.select(
+            "id", F.explode(ngrams_col(tokens_col(F.col("t")), n))
+            .alias("gram"),
+        )
+        per_gram = grams.groupBy("id", "gram").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("id").orderBy(
+            F.col("c").desc(), F.col("gram").asc())
+        top = (per_gram.withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") == 1)
+               .select("id", (F.col("c") * F.length("gram"))
+                       .alias(f"__top{n}")))
+        out = out.join(top, "id", "left")
+    sel = [
+        F.col("id").alias(id_col),
+        F.round(F.coalesce("dup_line_frac", F.lit(0.0)), 4)
+        .alias("dup_line_frac"),
+        F.round(F.coalesce("dup_line_char_frac", F.lit(0.0)), 4)
+        .alias("dup_line_char_frac"),
+    ]
+    for n in ngram_sizes:
+        sel.append(
+            F.round(
+                F.when(F.col("n_chars") > 0,
+                       F.coalesce(F.col(f"__top{n}"), F.lit(0))
+                       .cast("double") / F.col("n_chars"))
+                .otherwise(F.lit(0.0)), 4).alias(f"top_{n}gram_char_frac"))
+    return out.select(*sel)

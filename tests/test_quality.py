@@ -77,3 +77,23 @@ def test_oracle_agrees_on_degenerate_rows(spark):
         con.execute(entry_mod.oracle_sql()["quality_filter"]).fetchall()
     )
     assert srows == orows
+
+
+def test_repetition_metrics_known_values(spark):
+    from rdf_mapper_spark.ops.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(0, "x\ny\nx\nx"), (1, "a b a b a b"), (2, "all unique words here")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    # doc 0: 4 lines, 2 distinct -> dup 0.5; 'x' x3 of 4 line chars
+    assert out[0].dup_line_frac == 0.5
+    assert out[0].dup_line_char_frac == 0.75
+    # doc 1: one line; top 2-gram 'a b' x3 -> 9 chars of 11
+    assert out[1].dup_line_frac == 0.0
+    assert out[1].top_2gram_char_frac == round(9 / 11, 4)
+    # doc 2: no repetition anywhere
+    r2 = out[2]
+    assert r2.dup_line_frac == 0.0 and r2.dup_line_char_frac == 0.0
+    # every 2-gram unique -> top covers exactly one gram's chars
+    assert 0 < r2.top_2gram_char_frac < 0.6

@@ -1,0 +1,57 @@
+"""Deterministic sampling (ops/sampling.py): membership is a pure
+function of (seed, id) — the properties DataFrame.sample cannot give."""
+
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.ops.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=2000, parts=4):
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(F.array(F.lit("en"), F.lit("fr"), F.lit("de"),
+                             F.lit("es")),
+                     (F.col("id") % 4 + 1).cast("int")).alias("lang"),
+    )
+
+
+def test_partition_invariance_and_determinism(spark):
+    d = _docs(spark, parts=4)
+    a = {r.doc_id for r in deterministic_sample(d, 0.3, seed=1).collect()}
+    b = {r.doc_id for r in
+         deterministic_sample(d.repartition(13), 0.3, seed=1).collect()}
+    assert a == b and a  # same membership under any partitioning
+
+
+def test_nested_rates_compose(spark):
+    d = _docs(spark)
+    small = {r.doc_id for r in deterministic_sample(d, 0.05, seed=2).collect()}
+    big = {r.doc_id for r in deterministic_sample(d, 0.25, seed=2).collect()}
+    assert small <= big  # a 5% sample is a subset of the 25% sample
+
+
+def test_rates_approximately_honored(spark):
+    d = _docs(spark, n=4000)
+    got = deterministic_sample(d, 0.2, seed=3).count()
+    assert abs(got / 4000 - 0.2) < 0.03
+
+
+def test_stratified_rates_per_stratum(spark):
+    d = _docs(spark, n=4000)
+    out = (stratified_sample(d, "lang", {"en": 0.9, "fr": 0.1},
+                             default_fraction=0.0, seed=4)
+           .groupBy("lang").count().collect())
+    counts = {r.lang: r["count"] for r in out}
+    assert abs(counts["en"] / 1000 - 0.9) < 0.06
+    assert abs(counts.get("fr", 0) / 1000 - 0.1) < 0.06
+    assert "de" not in counts and "es" not in counts  # default 0.0
+
+
+def test_sample_is_scan_absorbed(spark):
+    d = _docs(spark)
+    plan = (deterministic_sample(d, 0.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "EvalPython" not in plan
