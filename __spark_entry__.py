@@ -1148,6 +1148,66 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_FRACTIONS = {"en": 0.8, "fr": 0.5, "de": 0.3}
 
+# passes every quality rule under en routing (27 tokens, stopword-rich)
+_MIRROR_TEXT = ("the curious researchers examined the ancient library and "
+                "the students gathered around the wooden tables to discuss "
+                "the findings of the expedition in the quiet evening")
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation stage (pipeline/curation.curate_corpus):
+    quality -> PII scrub -> exact dedup -> stratified sample, composed in
+    the load-bearing order (scrub BEFORE dedup: ~14% of docs are made
+    mirror pages sharing one body but carrying distinct contact emails —
+    they dedup only because the email is scrubbed first; dedup BEFORE
+    sampling so duplication cannot distort the mix rates).  One shuffle
+    total (the dedup groupBy)."""
+    from rdf_mapper_spark.pipeline.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    src = d.select(
+        "doc_id", "lang",
+        F.concat(
+            F.when(doc_id % 7 == 3, F.lit(_MIRROR_TEXT))
+            .otherwise(F.col("text")),
+            F.lit(" contact user"), doc_id.cast("string"),
+            F.lit("@example.com"),
+        ).alias("text"),
+    )
+    return curate_corpus(src, _MIX_FRACTIONS, default_fraction=0.1, seed=7)
+
+
+def _oracle_corpus_curation() -> str:
+    from rdf_mapper_spark.ops.text import PII_ORDER, PII_PATTERNS
+
+    clean = "text"
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        clean = (f"regexp_replace({clean}, '{pat}', "
+                 f"'<{kind.upper()}>', 'g')")
+    qual = _oracle_quality_filter().replace("FROM documents", "FROM src")
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v!r}"
+        for k, v in sorted(_MIX_FRACTIONS.items())
+    )
+    u = ("(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+         "::BIGINT * 1.0 / 1152921504606846976)")
+    return f"""
+WITH src AS (SELECT doc_id, lang,
+  CASE WHEN doc_id % 7 = 3 THEN '{_MIRROR_TEXT}' ELSE text END ||
+  ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' AS text
+  FROM documents),
+qual AS (SELECT doc_id FROM ({qual}) WHERE keep),
+s AS (SELECT src.doc_id, src.lang, {clean} AS clean_text
+      FROM src JOIN qual USING (doc_id)),
+d AS (SELECT md5(clean_text) fp, MIN(doc_id) keep_id
+      FROM s GROUP BY 1)
+SELECT doc_id, lang, clean_text
+FROM s JOIN d ON s.doc_id = d.keep_id
+WHERE {u} < (CASE {cases} ELSE 0.1 END)
+"""
+
 
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified training-mix sample
@@ -1498,8 +1558,14 @@ def _oracle_quality_filter() -> str:
         "ELSE len(list_filter(toks, "
         f"t -> list_contains({lst(STOPWORDS['en'])}, t))) END"
     )
+    # regex tokenizer mirrors ops/text.tokens_col exactly (split on
+    # non-letter/digit runs after lowercasing) — a space-split oracle
+    # diverges as soon as text carries emails/punctuation (the
+    # corpus_curation laced input exposed this)
     return f"""
-WITH t AS (SELECT doc_id, text, lang, string_split(text,' ') toks
+WITH t AS (SELECT doc_id, text, lang,
+  list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+              x -> x <> '') toks
   FROM documents),
 m AS (SELECT doc_id,
   len(toks) n_tok,
@@ -1775,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
+        "corpus_curation": q_corpus_curation,
         "text_analysis": q_text_analysis,
         "text_winnow": q_text_winnow,
         "multimodal_features": q_multimodal_features,
@@ -1823,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
+        "corpus_curation": _oracle_corpus_curation(),
         "text_analysis": _oracle_text_analysis(),
         "text_winnow": _oracle_text_winnow(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -67,13 +67,14 @@ def calibrate(spark, rows: int = 10_000_000) -> float:
     return round(time.time() - t0, 3)
 
 
-# best observed 10M-row calibration on this host (2026-08-17, idle VM),
-# PER PARALLELISM LEVEL — the overcommitted VM delivers different total
-# throughput at different thread counts (local[8] outruns local[32] on
-# the same probe), so the reference is only meaningful at matching cpus.
-# host_factor = calib_best / CALIB_REF[cpus] estimates how much slower
-# the host ran during a given bench invocation.
-CALIB_REF = {32: 2.35, 8: 1.2}
+# best observed WARMED-JVM 10M-row calibration on this host (2026-08-17:
+# min of the three in-run probes; the first probe after JVM start runs
+# ~3-5x slower from JIT, which is why the bench takes min-of-3 after the
+# warmup pipeline pass).  PER PARALLELISM LEVEL — the overcommitted VM
+# delivers different total throughput at different thread counts.
+# host_factor = calib_best / CALIB_REF[cpus]; >1 = the host ran slower
+# than its observed best during this invocation.
+CALIB_REF = {32: 0.40, 8: 1.2}
 
 
 def main() -> None:
@@ -148,7 +149,8 @@ def main() -> None:
         "ann_lsh_indexed", "ann_ivf_indexed",
         "text_analysis", "text_winnow",
         "kg_incremental", "quality_filter", "web_canonical_urls",
-        "decontaminate",
+        "decontaminate", "pii_scrub", "repetition_metrics",
+        "corpus_curation",
     ]
     queries = entry_mod.queries()
 
@@ -223,14 +225,25 @@ def main() -> None:
     # the cap at every SF — production uses an absolute few hundred
     max_df = max(8, docs.count() // 50)
     t0 = time.time()
-    n_uniform = winnow_pairs(docs, max_df=max_df).count()
+    uniform_pairs = {(r.id_a, r.id_b)
+                     for r in winnow_pairs(docs, max_df=max_df).collect()}
     wu = round(time.time() - t0, 3)
+    n_uniform = len(uniform_pairs)
     t0 = time.time()
-    n_guarded = winnow_pairs(docs_hot, max_df=max_df).count()
+    guarded_pairs = {(r.id_a, r.id_b)
+                     for r in winnow_pairs(docs_hot, max_df=max_df).collect()}
     wh = round(time.time() - t0, 3)
+    n_guarded = len(guarded_pairs)
     t0 = time.time()
-    n_exact = winnow_pairs(docs_hot).count()  # no guard: O(df^2) bucket
+    exact_pairs = {(r.id_a, r.id_b)  # no guard: O(df^2) bucket
+                   for r in winnow_pairs(docs_hot).collect()}
     we = round(time.time() - t0, 3)
+    n_exact = len(exact_pairs)
+    # the guard's true recall cost: pairs it dropped (vs exact on the SAME
+    # skewed input) that are NOT between two planted docs — those are the
+    # only sacrifices that could be real near-dups
+    lost = exact_pairs - guarded_pairs
+    lost_real = sum(1 for a, b in lost if not (a % 10 == 0 and b % 10 == 0))
     skew["winnow_boilerplate"] = {
         "hot_frac": 0.10,
         "max_df": max_df,
@@ -245,9 +258,12 @@ def main() -> None:
         # boilerplate-only overlaps (real near-dups share rare fps too)
         "guard_recall_vs_exact": round(n_guarded / n_exact, 4)
         if n_exact else None,
-        # the REAL near-dup pairs are the ones the un-planted corpus has;
-        # the guard must keep all of them while shedding the planted ones
-        "real_pairs_preserved": n_guarded == n_uniform,
+        # non-planted pairs the guard sacrificed vs the exact run on the
+        # same skewed input (planted-x-planted pairs are the boilerplate
+        # class the guard exists to shed; count equality vs the uniform
+        # run is the WRONG check — the plant legitimately creates junction
+        # pairs)
+        "real_pairs_lost_to_guard": lost_real,
     }
     extras["skew"] = skew
 

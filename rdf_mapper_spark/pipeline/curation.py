@@ -1,0 +1,61 @@
+"""End-to-end corpus curation: the training-data preparation stage
+composed from the individual operators, in the order a real pipeline
+runs them.
+
+    quality filter  ->  PII scrub  ->  exact dedup  ->  stratified sample
+
+Order is load-bearing and each step strictly shrinks the data:
+
+  * quality first — it is a pure projection the scan absorbs, so junk
+    never reaches the (regex-heavy) scrub or any shuffle;
+  * scrub before dedup — two documents differing only in their PII
+    (mirror pages with different contact emails) ARE duplicates, so
+    dedup must key on the CLEANED text;
+  * dedup before sampling — otherwise the mix rates are distorted by
+    duplication (a 1000x-duplicated page would be sampled 1000 times);
+  * sampling last — membership is a pure (seed, id) function
+    (ops/sampling.py), so the mix is reproducible no matter how the
+    earlier stages were partitioned or resumed.
+
+Plan shape: one scan-absorbed projection chain (quality + scrub), ONE
+shuffle (the dedup groupBy on the content hash), one more projection
+(sample filter).  At 100 TB this is a single map-reduce pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.ops.sampling import sample_uniform
+from rdf_mapper_spark.ops.text import quality_reasons, redact_pii
+
+
+def curate_corpus(docs: DataFrame, fractions: dict[str, float],
+                  default_fraction: float = 0.0, seed: int = 0,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """-> (doc_id, lang, clean_text) — the curated training corpus.
+
+    Dedup survivor is the MIN id per cleaned-text hash (deterministic,
+    resume-stable); the survivor — not an arbitrary member — is what the
+    sample rate then applies to."""
+    kept = docs.where(
+        quality_reasons(F.col(text_col), lang_col=F.col(lang_col)) == "")
+    scrubbed = kept.select(
+        F.col(id_col), F.col(lang_col),
+        redact_pii(F.col(text_col)).alias("clean_text"),
+    )
+    w_min = (scrubbed
+             .groupBy(F.md5("clean_text").alias("__fp"))
+             .agg(F.min(id_col).alias(id_col))
+             .select(id_col))
+    deduped = scrubbed.join(w_min, id_col, "left_semi")
+    rate = None
+    for key, frac in sorted(fractions.items()):
+        cond = F.col(lang_col).eqNullSafe(F.lit(key))
+        rate = (F.when(cond, F.lit(float(frac))) if rate is None
+                else rate.when(cond, F.lit(float(frac))))
+    rate = (rate.otherwise(F.lit(float(default_fraction)))
+            if rate is not None else F.lit(float(default_fraction)))
+    return deduped.where(sample_uniform(F.col(id_col), seed) < rate)

@@ -55,3 +55,24 @@ def test_sample_is_scan_absorbed(spark):
     plan = (deterministic_sample(d, 0.5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_curate_corpus_scrub_before_dedup(spark):
+    """Mirror pages differing only in contact email must dedup to ONE
+    survivor (min id) — only possible because the scrub runs first."""
+    from rdf_mapper_spark.pipeline.curation import curate_corpus
+
+    body = ("the curious researchers examined the ancient library and the "
+            "students gathered around the wooden tables to discuss the "
+            "findings of the expedition in the quiet evening")
+    rows = [
+        (1, "en", body + " contact a@x.io"),
+        (2, "en", body + " contact b@y.org"),   # mirror of 1 modulo email
+        (3, "en", body + " extra unique closing words for doc three here"),
+        (4, "en", "too short junk"),            # fails quality
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = curate_corpus(d, {"en": 1.0}, seed=7)
+    got = {r.doc_id: r.clean_text for r in out.collect()}
+    assert set(got) == {1, 3}            # 2 deduped into 1, 4 dropped
+    assert "<EMAIL>" in got[1] and "a@x.io" not in got[1]
