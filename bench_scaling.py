@@ -153,8 +153,17 @@ sandbox files.
              "efficiency": round(eff, 3)}, indent=1)}
 ```
 """
-    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    # preserve hand-maintained appendix sections (reproducibility table,
+    # headline-calibration notes) across regenerations
+    path = os.path.join(HERE, "BENCH", "BASELINE.md")
+    appendix = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("<!-- appendix -->")
+        if idx >= 0:
+            appendix = old[idx:]
+    with open(path, "w") as fh:
+        fh.write(md + ("\n" + appendix if appendix else ""))
     print(json.dumps({
         "levels": [lo_cpus, hi_cpus],
         "throughput_n": tp_lo,
