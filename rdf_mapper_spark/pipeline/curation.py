@@ -40,17 +40,21 @@ def curate_corpus(docs: DataFrame, fractions: dict[str, float],
     Dedup survivor is the MIN id per cleaned-text hash (deterministic,
     resume-stable); the survivor — not an arbitrary member — is what the
     sample rate then applies to."""
+    from pyspark.sql import Window
+
     kept = docs.where(
         quality_reasons(F.col(text_col), lang_col=F.col(lang_col)) == "")
     scrubbed = kept.select(
         F.col(id_col), F.col(lang_col),
         redact_pii(F.col(text_col)).alias("clean_text"),
     )
-    w_min = (scrubbed
-             .groupBy(F.md5("clean_text").alias("__fp"))
-             .agg(F.min(id_col).alias(id_col))
-             .select(id_col))
-    deduped = scrubbed.join(w_min, id_col, "left_semi")
+    # survivor via row_number over the content-hash window: ONE exchange
+    # keyed by the fp, no join-back (a groupBy-min + semi-join costs a
+    # second corpus-wide shuffle for identical semantics)
+    w = Window.partitionBy(F.md5("clean_text")).orderBy(
+        F.col(id_col).asc())
+    deduped = (scrubbed.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1).drop("__rn"))
     rate = None
     for key, frac in sorted(fractions.items()):
         cond = F.col(lang_col).eqNullSafe(F.lit(key))

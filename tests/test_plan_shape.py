@@ -182,3 +182,21 @@ def test_decontaminate_probe_is_broadcast_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "EvalPython" not in plan
     assert out.count() > 0
+
+
+def test_curation_single_logical_shuffle(spark):
+    """curate_corpus = scan-absorbed quality+scrub projections, ONE
+    shuffle (the content-hash dedup window), one sample filter — no
+    joins, no Python."""
+    from rdf_mapper_spark.pipeline.curation import curate_corpus
+
+    d = spark.createDataFrame(
+        [(i, "en", "the quick brown fox jumps over the lazy dog and then "
+          "the curious cat watched the garden birds in the quiet morning "
+          f"note {i}") for i in range(50)],
+        ["doc_id", "lang", "text"])
+    plan = (curate_corpus(d, {"en": 1.0}, seed=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
