@@ -1142,6 +1142,13 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("qid"),
                 F.col("embedding").alias("qvec"))
+    # Bench note: at sandbox scale the recompute path can still win on
+    # wall clock — the indexed query carries ~2 s of FIXED driver cost
+    # (probe-key collect job + query-plan analysis; the 256-dir listing
+    # is amortized by ops/ann_index._read_index) while the cost it
+    # avoids, re-hashing the embedding table, is only ~20k rows here.
+    # The avoided cost grows LINEARLY with corpus size; the fixed cost
+    # does not — the crossover is far below any real corpus.
     return lsh_topk_indexed(spark, path, queries, k=10
                             ).select("qid", "rank", "neighbor")
 

@@ -45,6 +45,27 @@ from rdf_mapper_spark.ops.similarity import (
 
 _META = "_ann_meta.json"
 
+# FileIndex listing of a few hundred partition dirs costs seconds of
+# DRIVER time per spark.read.parquet — measured 2.75 s for the 256-bucket
+# LSH layout at sandbox scale, dwarfing the pruned scan itself.  A
+# long-lived query service lists the index once; this cache gives the
+# same amortization per (session, path).  Builders invalidate on rewrite.
+_READ_CACHE: dict = {}
+
+
+def _read_index(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path)
+    df = _READ_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _READ_CACHE[key] = df
+    return df
+
+
+def _invalidate(path: str) -> None:
+    for key in [k for k in _READ_CACHE if k[1] == path]:
+        del _READ_CACHE[key]
+
 
 def _write_meta(path: str, meta: dict) -> None:
     with open(os.path.join(path, _META), "w") as f:
@@ -78,6 +99,7 @@ def build_ivf_index(embeddings: DataFrame, path: str,
         )
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _invalidate(path)
     meta = {"kind": "ivf", "cells": cells, "dim": len(cells[0]),
             "n_cells": len(cells)}
     _write_meta(path, meta)
@@ -103,7 +125,7 @@ def ivf_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
     )
     # distinct probe cells: <= n_cells rows however large the query batch
     probe_cells = [r.cell for r in q_c.select("cell").distinct().collect()]
-    index = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    index = _read_index(spark, path).where(F.col("cell").isin(probe_cells))
     cand = index.join(F.broadcast(q_c), "cell").where(
         F.col("vec_id") != F.col("qid")
     )
@@ -138,6 +160,7 @@ def build_lsh_index(embeddings: DataFrame, path: str, dim: int,
         )
     )
     exploded.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    _invalidate(path)
     meta = {"kind": "lsh", "dim": dim, "n_planes": n_planes,
             "n_tables": n_tables, "seed": seed}
     _write_meta(path, meta)
@@ -173,7 +196,7 @@ def lsh_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
         q_b = qbase.select("qid", "qvec", F.col("b0").alias("bucket"))
     probe_buckets = [r.bucket
                      for r in q_b.select("bucket").distinct().collect()]
-    index = spark.read.parquet(path).where(
+    index = _read_index(spark, path).where(
         F.col("bucket").isin(probe_buckets))
     cand = (
         index.join(F.broadcast(q_b), "bucket")
