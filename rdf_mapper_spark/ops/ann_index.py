@@ -220,3 +220,55 @@ def _rank(cand: DataFrame, k: int) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("qid", "rank", "neighbor", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: append a delta without rebuilding
+# ---------------------------------------------------------------------------
+def append_to_index(new_embeddings: DataFrame, path: str,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> dict:
+    """Add a batch of NEW vectors to a stored index without touching the
+    existing files (the daily-embedding-delta case).
+
+    Correct because each vector's cell/bucket is a pure function of the
+    vector and the FROZEN codebook/planes in the sidecar — independent of
+    every other vector — so assign-and-append commutes with build order:
+    build(A) + append(B) == build(A+B), file layout aside (asserted in
+    tests/test_ann_index.py).  Appended rows land in the same partition
+    directories, so query-side pruning is unchanged; periodic compaction
+    (small appended files -> bounded files per key) is the same
+    maintenance job the quad store runs (pipeline/compaction.py).
+
+    Codebook drift is the caller's policy: appending does NOT retrain —
+    if the data distribution moves, rebuild with fresh `train_centroids`
+    output (the IVF cell is one stored int, so a rebuild is one pass)."""
+    meta = read_meta(path)
+    clean = new_embeddings.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    if meta["kind"] == "ivf":
+        dots = _cell_dots_sql(vec_col, meta["cells"])
+        assigned = clean.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+            F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
+            .alias("cell"),
+        )
+        assigned.write.mode("append").partitionBy("cell").parquet(path)
+    elif meta["kind"] == "lsh":
+        tables = [hyperplanes(meta["dim"], meta["n_planes"],
+                              meta["seed"] + 7919 * t)
+                  for t in range(meta["n_tables"])]
+        width = 1 << meta["n_planes"]
+        keys = ", ".join(
+            _bucket_sql(_sql_quote(vec_col), tables[t], t * width)
+            for t in range(meta["n_tables"])
+        )
+        exploded = clean.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+            F.explode(F.expr(f"array({keys})")).alias("bucket"),
+        )
+        exploded.write.mode("append").partitionBy("bucket").parquet(path)
+    else:
+        raise ValueError(f"unknown index kind {meta['kind']!r}")
+    _invalidate(path)
+    return meta

@@ -97,3 +97,30 @@ def test_index_excludes_null_and_empty_vectors(spark, tmp_path):
     path = str(tmp_path / "ivf")
     build_ivf_index(emb, path, centroids(DIM, 2, seed=7))
     assert [r.vec_id for r in spark.read.parquet(path).collect()] == [0]
+
+
+def test_append_equals_full_build(spark, tmp_path):
+    """build(A) + append(B) == build(A+B): assignment is a pure function
+    of (vector, frozen codebook), so incremental maintenance commutes
+    with build order for BOTH index kinds."""
+    from rdf_mapper_spark.ops.ann_index import append_to_index
+
+    emb = _emb(spark, 120)
+    a = emb.where(F.col("vec_id") < 60)
+    b = emb.where(F.col("vec_id") >= 60)
+    q = _queries(emb)
+
+    cells = centroids(DIM, 8, seed=7)
+    p_full, p_inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_ivf_index(emb, p_full, cells)
+    build_ivf_index(a, p_inc, cells)
+    append_to_index(b, p_inc)
+    assert _rows(ivf_topk_indexed(spark, p_inc, q, k=5, nprobe=3)) == \
+        _rows(ivf_topk_indexed(spark, p_full, q, k=5, nprobe=3))
+
+    l_full, l_inc = str(tmp_path / "lfull"), str(tmp_path / "linc")
+    build_lsh_index(emb, l_full, dim=DIM, n_planes=4, n_tables=2)
+    build_lsh_index(a, l_inc, dim=DIM, n_planes=4, n_tables=2)
+    append_to_index(b, l_inc)
+    assert _rows(lsh_topk_indexed(spark, l_inc, q, k=5)) == \
+        _rows(lsh_topk_indexed(spark, l_full, q, k=5))
