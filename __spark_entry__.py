@@ -1310,6 +1310,39 @@ LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
 """
 
 
+_LM_TOP_K = 20
+
+
+def q_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (ops/lm.py, the CCNet-shaped signal):
+    corpus-derived vocabulary capped at top-20 (small enough that the
+    OOV floor path is exercised on this corpus), mean ln p(token) per
+    doc.  The capped vocab BROADCASTS to the scoring join, so hot tokens
+    never shuffle — the token-keyed-join skew trap is avoided by
+    construction."""
+    from rdf_mapper_spark.ops.lm import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"),
+                           top_k=_LM_TOP_K)
+
+
+def _oracle_lm_logprob() -> str:
+    toks = ("list_filter(regexp_split_to_array(lower(text), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '')")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks}) t FROM documents),
+counts AS (SELECT t, COUNT(*) c FROM toks GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) total FROM counts),
+top AS (SELECT t, c FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) rk FROM counts)
+  WHERE rk <= {_LM_TOP_K}),
+lp AS (SELECT doc_id, ln(COALESCE(top.c, 1) * 1.0 / tot.total) lp
+       FROM toks LEFT JOIN top USING (t) CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tok, ROUND(AVG(lp), 4) AS avg_logp
+FROM lp GROUP BY doc_id
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (ops/text.redact_pii): deterministic PII lacing per doc
     (email always; phone/ipv4/ssn on modular buckets), then the ordered
@@ -1846,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ann_lsh_indexed": q_ann_lsh_indexed,
         "pii_scrub": q_pii_scrub,
+        "lm_logprob": q_lm_logprob,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "corpus_curation": q_corpus_curation,
@@ -1895,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_indexed": _oracle_ann_ivf(),
         "ann_lsh_indexed": _oracle_ann_lsh(),
         "pii_scrub": _oracle_pii_scrub(),
+        "lm_logprob": _oracle_lm_logprob(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
         "corpus_curation": _oracle_corpus_curation(),

@@ -97,3 +97,26 @@ def test_repetition_metrics_known_values(spark):
     assert r2.dup_line_frac == 0.0 and r2.dup_line_char_frac == 0.0
     # every 2-gram unique -> top covers exactly one gram's chars
     assert 0 < r2.top_2gram_char_frac < 0.6
+
+
+def test_unigram_logprob_ranks_common_over_rare(spark):
+    """Self-scored corpus: a doc of corpus-common tokens must out-score a
+    doc of hapaxes; OOV (beyond top_k) tokens hit the 1/total floor; the
+    scoring join must broadcast (no token-keyed shuffle)."""
+    from rdf_mapper_spark.ops.lm import unigram_logprob, unigram_vocab
+
+    rows = [(i, "the cat sat on the mat and the dog ran") for i in range(8)]
+    rows.append((100, "zyx wvu tsr qpo nml kji"))  # hapax soup
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in unigram_logprob(df, top_k=5).collect()}
+    assert out[0].avg_logp > out[100].avg_logp
+    assert out[0].n_tok == 10 and out[100].n_tok == 6
+
+    # fixed reference vocab: scoring against another corpus's model
+    vocab = unigram_vocab(df.where("doc_id < 100"), top_k=5)
+    fixed = unigram_logprob(df, vocab=vocab)
+    assert fixed.count() == 9
+
+    plan = (unigram_logprob(df, top_k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
