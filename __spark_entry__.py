@@ -1311,6 +1311,39 @@ LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
 
 
 _LM_TOP_K = 20
+_TFIDF_K = 3
+_TFIDF_MAX_DF = 0.5
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k tf-idf terms (ops/text.tfidf_top_terms).  The
+    max_df kill-switch drops stopword-tier terms BEFORE the (term)-keyed
+    df join — the hot keys with near-zero idf that could never rank.
+    Ranking on the rounded score with term tie-break keeps the output
+    deterministic across engines."""
+    from rdf_mapper_spark.ops.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=_TFIDF_K,
+                           max_df_frac=_TFIDF_MAX_DF)
+
+
+def _oracle_tfidf_terms() -> str:
+    toks = ("list_filter(regexp_split_to_array(lower(text), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '')")
+    return f"""
+WITH n AS (SELECT COUNT(*) n_docs FROM documents),
+toks AS (SELECT doc_id id, unnest({toks}) t FROM documents),
+tf AS (SELECT id, t, COUNT(*) tf FROM toks GROUP BY id, t),
+dft AS (SELECT t, COUNT(*) df FROM tf GROUP BY t),
+live AS (SELECT t, df FROM dft CROSS JOIN n
+         WHERE df <= CAST({_TFIDF_MAX_DF} * n_docs AS BIGINT)),
+scored AS (SELECT id, t term,
+           ROUND(tf * ln(n.n_docs * 1.0 / df), 4) score
+           FROM tf JOIN live USING (t) CROSS JOIN n),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        ORDER BY score DESC, term ASC) rank FROM scored)
+SELECT id AS doc_id, rank, term, score FROM rk WHERE rank <= {_TFIDF_K}
+"""
 
 
 def q_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_indexed": q_ann_lsh_indexed,
         "pii_scrub": q_pii_scrub,
         "lm_logprob": q_lm_logprob,
+        "tfidf_terms": q_tfidf_terms,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "corpus_curation": q_corpus_curation,
@@ -1930,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_indexed": _oracle_ann_lsh(),
         "pii_scrub": _oracle_pii_scrub(),
         "lm_logprob": _oracle_lm_logprob(),
+        "tfidf_terms": _oracle_tfidf_terms(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
         "corpus_curation": _oracle_corpus_curation(),

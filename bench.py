@@ -150,7 +150,7 @@ def main() -> None:
         "text_analysis", "text_winnow",
         "kg_incremental", "quality_filter", "web_canonical_urls",
         "decontaminate", "pii_scrub", "repetition_metrics",
-        "corpus_curation",
+        "corpus_curation", "lm_logprob",
     ]
     queries = entry_mod.queries()
 

@@ -443,3 +443,43 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
                        .cast("double") / F.col("n_chars"))
                 .otherwise(F.lit(0.0)), 4).alias(f"top_{n}gram_char_frac"))
     return out.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(docs: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_df_frac: float | None = 0.5) -> DataFrame:
+    """-> (doc_id, rank, term, score): each document's k most
+    characteristic terms by tf-idf (idf = ln(n_docs / df)).
+
+    ``max_df_frac`` is the skew kill-switch AND a quality filter in one:
+    terms in more than that fraction of documents are dropped BEFORE the
+    df join — they are the hot join keys ('the' appears in every doc, so
+    its (term)-keyed rows all land on one reducer) and their idf is near
+    zero anyway, so they could never be a top term.  None keeps exact
+    semantics.
+
+    Ranking is on the ROUNDED score (4 dp) with term-ascending
+    tie-break, so the output is deterministic and engine-portable (an
+    unrounded float rank would flap across summation orders)."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(tokens_col(F.col(text_col))).alias("t"))
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("t").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        df_t = df_t.where(F.col("df") <= int(max_df_frac * n_docs))
+    scored = tf.join(df_t, "t").select(
+        "id", F.col("t").alias("term"),
+        F.round(F.col("tf") * F.ln(F.lit(float(n_docs)) / F.col("df")), 4)
+        .alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("id").alias(id_col), "rank", "term", "score"))

@@ -120,3 +120,24 @@ def test_unigram_logprob_ranks_common_over_rare(spark):
     plan = (unigram_logprob(df, top_k=5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_tfidf_top_terms_known_ranking(spark):
+    from rdf_mapper_spark.ops.text import tfidf_top_terms
+
+    rows = [
+        (0, "apple apple apple shared words"),
+        (1, "banana banana shared words"),
+        (2, "cherry shared words"),
+        (3, "shared words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=1, max_df_frac=0.5).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'shared'/'words' are in every doc -> killed by max_df (and would
+    # have idf ~ 0 anyway); each doc's distinctive term wins
+    assert top[0] == "apple" and top[1] == "banana" and top[2] == "cherry"
+    assert top[3] in ("only", "here")
+    # apple(tf=3) out-scores cherry(tf=1) at equal idf
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[0] > scores[2]
