@@ -1312,13 +1312,15 @@ LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
 
 _LM_TOP_K = 20
 _TFIDF_K = 3
-_TFIDF_MAX_DF = 0.5
+_TFIDF_MAX_DF = 0.9
 
 
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-k tf-idf terms (ops/text.tfidf_top_terms).  The
     max_df kill-switch drops stopword-tier terms BEFORE the (term)-keyed
-    df join — the hot keys with near-zero idf that could never rank.
+    df join (0.9 here: the synthetic corpus has a ~31-token vocabulary
+    almost entirely in the 0.5-0.9 df band, so 0.5 would leave one
+    surviving term; production uses ~0.5) — the hot keys with near-zero idf that could never rank.
     Ranking on the rounded score with term tie-break keeps the output
     deterministic across engines."""
     from rdf_mapper_spark.ops.text import tfidf_top_terms
