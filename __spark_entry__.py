@@ -1315,6 +1315,34 @@ _TFIDF_K = 3
 _TFIDF_MAX_DF = 0.9
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus rollup (ops/text.corpus_stats): doc/token totals,
+    language-routed quality keep-rate, exact-dup rate, per-language
+    counts — all associative aggregates in a single map-side-partial
+    pass."""
+    from rdf_mapper_spark.ops.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_corpus_stats() -> str:
+    qual = _oracle_quality_filter()
+    toks = ("list_filter(regexp_split_to_array(lower(text), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '')")
+    return f"""
+WITH q AS (SELECT doc_id, keep FROM ({qual}))
+SELECT COUNT(*) n_docs,
+       CAST(SUM(len({toks})) AS BIGINT) total_tokens,
+       ROUND(AVG(CASE WHEN q.keep THEN 1 ELSE 0 END), 4) keep_rate,
+       ROUND(1 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4) dup_rate,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) n_en,
+       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) n_fr,
+       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) n_de,
+       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) n_es
+FROM documents JOIN q USING (doc_id)
+"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-k tf-idf terms (ops/text.tfidf_top_terms).  The
     max_df kill-switch drops stopword-tier terms BEFORE the (term)-keyed
@@ -1916,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "lm_logprob": q_lm_logprob,
         "tfidf_terms": q_tfidf_terms,
+        "corpus_stats": q_corpus_stats,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "corpus_curation": q_corpus_curation,
@@ -1967,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _oracle_pii_scrub(),
         "lm_logprob": _oracle_lm_logprob(),
         "tfidf_terms": _oracle_tfidf_terms(),
+        "corpus_stats": _oracle_corpus_stats(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
         "corpus_curation": _oracle_corpus_curation(),

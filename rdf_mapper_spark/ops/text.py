@@ -483,3 +483,31 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(F.col("id").alias(id_col), "rank", "term", "score"))
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 lang_col: str | None = "lang") -> DataFrame:
+    """ONE-row corpus summary (the dashboard/alerting aggregate):
+    doc count, token totals, quality keep-rate, exact-dup rate, and
+    per-language counts as scalar columns.
+
+    Single groupBy().agg() — every aggregate is associative, so the whole
+    thing is map-side partials plus one tiny final reduce; the exact-dup
+    rate rides the same pass via count(distinct md5(text))."""
+    lc = F.col(lang_col) if lang_col is not None else None
+    keep = (quality_reasons(F.col(text_col), lang_col=lc) == "") \
+        .cast("int")
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint")
+        .alias("total_tokens"),
+        F.round(F.avg(keep), 4).alias("keep_rate"),
+        F.round(1 - F.count_distinct(F.md5(F.col(text_col)))
+                / F.count("*"), 4).alias("dup_rate"),
+    ]
+    if lang_col is not None:
+        for lg in ("en", "fr", "de", "es"):
+            aggs.append(F.sum((F.col(lang_col) == lg).cast("int"))
+                        .cast("bigint").alias(f"n_{lg}"))
+    return docs.agg(*aggs)
