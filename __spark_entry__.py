@@ -1338,7 +1338,10 @@ SELECT COUNT(*) n_docs,
        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) n_en,
        CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) n_fr,
        CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) n_de,
-       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) n_es
+       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) n_es,
+       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) n_zh,
+       CAST(SUM(CASE WHEN lang NOT IN ('en','fr','de','es','zh')
+                THEN 1 ELSE 0 END) AS BIGINT) n_other
 FROM documents JOIN q USING (doc_id)
 """
 

@@ -507,7 +507,10 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
                 / F.count("*"), 4).alias("dup_rate"),
     ]
     if lang_col is not None:
-        for lg in ("en", "fr", "de", "es"):
+        known = ("en", "fr", "de", "es", "zh")
+        for lg in known:
             aggs.append(F.sum((F.col(lang_col) == lg).cast("int"))
                         .cast("bigint").alias(f"n_{lg}"))
+        aggs.append(F.sum((~F.col(lang_col).isin(*known))
+                          .cast("int")).cast("bigint").alias("n_other"))
     return docs.agg(*aggs)
