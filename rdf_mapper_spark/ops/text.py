@@ -8,7 +8,16 @@ functions (transform/filter/aggregate) evaluate OUTSIDE whole-stage
 codegen — Spark interprets HOF expression trees — but stay entirely
 JVM-side with no row materialization to Python, which is the property
 that matters at 100 TB (verified: no *EvalPython nodes in the plans,
-tests/test_plan_shape.py)."""
+tests/test_plan_shape.py).
+
+Scope note: the tokenizer splits on non-letter/digit runs, so every
+token-based signal here (stopword ratios, quality bands, n-grams,
+winnowing) assumes whitespace-delimited scripts.  CJK text (the `zh`
+label in the fixtures) needs a segmenter before these operators apply —
+`char_trigrams`/`lang_id_ngram` are the only signals that work
+unsegmented.  Routing unknown languages to the `en` stopword list is a
+deliberate conservative default; a production deployment extends
+STOPWORDS/TRIGRAMS per supported language."""
 
 from __future__ import annotations
 
