@@ -86,14 +86,19 @@ def test_simhash_hash_udf_computed_once(spark):
         [(i, f"token{i} alpha beta gamma") for i in range(20)],
         ["doc_id", "text"],
     )
+    def cached_ids():
+        return {s.id() for s in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()  # other tests may legitimately hold caches
     pairs = simhash_near_dups(docs, max_hamming=3)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "InMemoryTableScan" not in plan, plan
     pairs.count()
     # the old formulation leaked a session-lifetime persist per call
-    jstorage = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(jstorage) == 0, [str(s) for s in jstorage]
+    leaked = cached_ids() - before
+    assert not leaked, leaked
 
 
 def test_embedding_near_dups_is_not_cartesian(spark):
