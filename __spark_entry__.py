@@ -1315,6 +1315,41 @@ _TFIDF_K = 3
 _TFIDF_MAX_DF = 0.9
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap
+    (ops/text.chunk_documents) — the context-window packing prep.  Pure
+    projection + one explode; the scan absorbs it."""
+    from rdf_mapper_spark.ops.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=_CHUNK_TOKENS,
+                           overlap=_CHUNK_OVERLAP)
+
+
+def _oracle_chunk_documents() -> str:
+    ct, ov = _CHUNK_TOKENS, _CHUNK_OVERLAP
+    stride = ct - ov
+    toks = ("list_filter(regexp_split_to_array(lower(text), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '')")
+    # FLOOR, not CAST: DuckDB CAST(double AS INT) rounds-half-even while
+    # Spark's cast truncates — (g + stride-1)/stride must floor
+    n_chunks = (f"CAST(FLOOR((greatest(len(toks) - {ov}, 1) + {stride - 1})"
+                f" * 1.0 / {stride}) AS INT)")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} toks FROM documents),
+n AS (SELECT doc_id, toks, greatest({n_chunks}, 1) nc FROM t),
+c AS (SELECT doc_id, toks, unnest(generate_series(1, nc)) i FROM n),
+w AS (SELECT doc_id, CAST(i - 1 AS INT) chunk_id,
+        toks[(i-1)*{stride} + 1 : (i-1)*{stride} + {ct}] chunk FROM c)
+SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) n_tok,
+       array_to_string(chunk, ' ') chunk_text
+FROM w WHERE len(chunk) > 0
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus rollup (ops/text.corpus_stats): doc/token totals,
     language-routed quality keep-rate, exact-dup rate, per-language
@@ -1948,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_logprob": q_lm_logprob,
         "tfidf_terms": q_tfidf_terms,
         "corpus_stats": q_corpus_stats,
+        "chunk_documents": q_chunk_documents,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "corpus_curation": q_corpus_curation,
@@ -2000,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_logprob": _oracle_lm_logprob(),
         "tfidf_terms": _oracle_tfidf_terms(),
         "corpus_stats": _oracle_corpus_stats(),
+        "chunk_documents": _oracle_chunk_documents(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
         "corpus_curation": _oracle_corpus_curation(),

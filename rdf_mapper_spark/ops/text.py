@@ -523,3 +523,54 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
         aggs.append(F.sum((~F.col(lang_col).isin(*known))
                           .cast("int")).cast("bigint").alias("n_other"))
     return docs.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (context-window packing prep)
+# ---------------------------------------------------------------------------
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into fixed-token windows with overlap ->
+    (doc_id, chunk_id, n_tok, chunk_text): the preprocessing step that
+    feeds sequence packing for training.
+
+    Stride = chunk_tokens - overlap; the last window is the remainder
+    (never empty, never duplicated: a doc shorter than one chunk yields
+    exactly one chunk).  Pure Column expressions — token array built
+    once, windows via sequence+slice, one explode; the scan absorbs it,
+    no shuffle.  Chunk text re-joins tokens with single spaces, i.e.
+    chunking is defined over the TOKEN stream (what the trainer sees),
+    not raw bytes."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(
+            F.lit(1),
+            (F.greatest(F.size(toks) - F.lit(overlap), F.lit(1))
+             + F.lit(stride) - 1) / F.lit(stride),
+        ).cast("int"),
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            (i - 1).alias("chunk_id"),
+            F.slice(toks, (i - 1) * stride + 1, chunk_tokens).alias("w"),
+        ),
+    )
+    # let-binding: bind the token array once (interpreted HOFs get no CSE)
+    bound = F.element_at(
+        F.transform(F.array(toks), lambda _: chunks), 1)
+    return (
+        docs.select(F.col(id_col), F.explode(bound).alias("ch"))
+        .select(
+            F.col(id_col),
+            F.col("ch.chunk_id").alias("chunk_id"),
+            F.size("ch.w").alias("n_tok"),
+            F.array_join("ch.w", " ").alias("chunk_text"),
+        )
+        .where(F.col("n_tok") > 0)
+    )

@@ -141,3 +141,33 @@ def test_tfidf_top_terms_known_ranking(spark):
     # apple(tf=3) out-scores cherry(tf=1) at equal idf
     scores = {r.doc_id: r.score for r in out}
     assert scores[0] > scores[2]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token covered, consecutive chunks share exactly `overlap`
+    tokens, short docs give one chunk, empty docs none; map-only plan."""
+    from rdf_mapper_spark.ops.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(0, words), (1, "just five tiny words here"), (2, "")],
+        ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=128, overlap=16)
+    rows = sorted(((r.doc_id, r.chunk_id, r.n_tok, r.chunk_text)
+                   for r in out.collect()))
+    by_doc = {}
+    for d, c, n, t in rows:
+        by_doc.setdefault(d, []).append((c, n, t.split(" ")))
+    # doc 0: 300 tokens, stride 112 -> 3 chunks of 128/128/76
+    assert [n for _, n, _ in by_doc[0]] == [128, 128, 76]
+    # consecutive chunks overlap by exactly 16 tokens
+    for (c1, _, t1), (c2, _, t2) in zip(by_doc[0], by_doc[0][1:]):
+        assert t1[-16:] == t2[:16]
+    # full coverage in order
+    flat = by_doc[0][0][2] + by_doc[0][1][2][16:] + by_doc[0][2][2][16:]
+    assert flat == words.split(" ")
+    assert [n for _, n, _ in by_doc[1]] == [5]
+    assert 2 not in by_doc
+    plan = (chunk_documents(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "EvalPython" not in plan
