@@ -150,7 +150,8 @@ def main() -> None:
         "text_analysis", "text_winnow",
         "kg_incremental", "quality_filter", "web_canonical_urls",
         "decontaminate", "pii_scrub", "repetition_metrics",
-        "corpus_curation", "lm_logprob",
+        "corpus_curation", "lm_logprob", "tfidf_terms",
+        "chunk_documents", "corpus_stats",
     ]
     queries = entry_mod.queries()
 
