@@ -1927,6 +1927,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`decontaminate` through the bloom-prefiltered path
+    (ops/dedup.contaminated_docs_bloom): the bitmap's set positions are
+    computed by Spark with the exact probe expressions, so there are
+    zero false negatives by construction and the verified output is
+    bit-identical to the exact path — the SAME oracle checks both.  The
+    bloom check runs in the scan projection, shrinking what reaches the
+    verify join to true hits + the ~0.5%% false-positive tail."""
+    from rdf_mapper_spark.ops.dedup import contaminated_docs_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    return contaminated_docs_bloom(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
 def _oracle_decontaminate() -> str:
     return """
 WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
@@ -1995,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_canonical_urls": q_web_canonical_urls,
         "kg_incremental": q_kg_incremental,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "winnow_pairs": q_winnow_pairs,
     }
 
@@ -2048,5 +2067,7 @@ def oracle_sql() -> dict[str, str]:
         "web_canonical_urls": _oracle_web_canonical_urls(),
         "kg_incremental": _oracle_kg_incremental(),
         "decontaminate": _oracle_decontaminate(),
+        # bloom path is bit-identical to exact by construction
+        "decontaminate_bloom": _oracle_decontaminate(),
         "winnow_pairs": _oracle_winnow_pairs(),
     }

@@ -585,3 +585,72 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         canonical.alias("canonical_id"),
         (canonical == F.col(id_col)).alias("keep"),
     )
+
+
+def contaminated_docs_bloom(docs: DataFrame, benchmark: DataFrame,
+                            n: int = 8, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            bits_per_gram: int = 16,
+                            n_hashes: int = 7) -> DataFrame:
+    """`contaminated_docs` with a BLOOM-FILTER prefilter on the exploded
+    gram stream — identical output, different scale envelope.
+
+    The exact path broadcast-joins every corpus gram against the
+    benchmark gram set; when the benchmark suite grows past comfortable
+    broadcast size, the join starts shuffling the full exploded stream.
+    Here a bloom bitmap (bits_per_gram per benchmark gram, n_hashes
+    probes) filters that stream IN THE SCAN PROJECTION first, so only
+    true hits + the ~0.5% false-positive tail reach the verify join.
+
+    Zero false negatives BY CONSTRUCTION, not by numerical luck: the
+    bitmap's set positions are computed by Spark itself with the exact
+    probe expressions (`pmod(xxhash64(gram, i), m)`), collected, and
+    embedded as an array<long> literal — build and probe can never
+    disagree on a hash, so the verified output is bit-identical to
+    `contaminated_docs` (same DuckDB oracle covers both).  Each probe is
+    its own xxhash64(gram, i) — no h1+i*h2 arithmetic that could
+    overflow under ANSI mode.
+
+    The bitmap literal is ~2 bytes per benchmark gram (12.5k longs for a
+    50k-gram suite); for suites beyond plan-literal comfort, ship it as
+    a broadcast variable instead — the probe expression is unchanged.
+    """
+    from rdf_mapper_spark.ops.text import ngrams_col
+
+    def grams(c: Column) -> Column:
+        return F.array_distinct(ngrams_col(tokens_col(c), n))
+
+    bg = benchmark.select(
+        F.explode(grams(F.col(text_col))).alias("gram")).distinct()
+    n_grams = bg.count()
+    m = max(64, ((n_grams * bits_per_gram + 63) // 64) * 64)
+
+    def positions(gram_col: Column) -> list[Column]:
+        return [F.pmod(F.xxhash64(gram_col, F.lit(i)), F.lit(m))
+                for i in range(n_hashes)]
+
+    pos_rows = bg.select(
+        F.explode(F.array(*positions(F.col("gram")))).alias("p")
+    ).distinct().collect()
+    words = [0] * (m // 64)
+    for r in pos_rows:
+        p = int(r.p)
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.lit(words)
+
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(grams(F.col(text_col))).alias("gram"),
+    )
+    hit = None
+    for pcol in positions(F.col("gram")):
+        word = F.element_at(bitmap, (pcol / 64).cast("int") + 1)
+        bit = F.getbit(word, F.pmod(pcol, F.lit(64))) == 1
+        hit = bit if hit is None else (hit & bit)
+    return (
+        dg.where(hit)
+        .join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

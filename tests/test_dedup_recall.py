@@ -269,3 +269,29 @@ def test_dedup_clusters_transitive_and_numeric_min(spark):
     again = {r.doc_id: (r.canonical_id, r.keep)
              for r in dedup_clusters(docs, pairs).collect()}
     assert out == again
+
+
+def test_bloom_decontamination_equals_exact(spark):
+    """Bloom-prefiltered decontamination must be bit-identical to the
+    exact path (zero false negatives by construction) and keep the bloom
+    check JVM-side in the scan (no Python, no extra shuffle before the
+    verify join)."""
+    from rdf_mapper_spark.ops.dedup import (
+        contaminated_docs,
+        contaminated_docs_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i * 7 + j) % 40}" for j in range(15)))
+         for i in range(120)],
+        ["doc_id", "text"])
+    corpus = docs.where("doc_id % 10 != 0")
+    bench = docs.where("doc_id % 10 = 0")
+    exact = {(r.doc_id, r.n_shared_grams)
+             for r in contaminated_docs(corpus, bench, n=3).collect()}
+    bloom = {(r.doc_id, r.n_shared_grams)
+             for r in contaminated_docs_bloom(corpus, bench, n=3).collect()}
+    assert exact == bloom and exact
+    plan = (contaminated_docs_bloom(corpus, bench, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
