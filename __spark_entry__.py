@@ -1350,6 +1350,30 @@ FROM w WHERE len(chunk) > 0
 """
 
 
+def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG analytics composed on the engine's own output: per-predicate
+    triple counts and distinct subject/object degrees over the flagship
+    graph.  One aggregation pass downstream of quad emission — the
+    monitoring/observability query every KG deployment runs after a
+    build."""
+    quads = q_kg_flagship(spark, sf_dir)
+    return quads.groupBy("p").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("s").alias("n_subjects"),
+        F.countDistinct("o").alias("n_objects"),
+    )
+
+
+def _oracle_kg_degrees() -> str:
+    return f"""
+SELECT p, COUNT(*) n_triples,
+       CAST(COUNT(DISTINCT s) AS BIGINT) n_subjects,
+       CAST(COUNT(DISTINCT o) AS BIGINT) n_objects
+FROM ({_oracle_kg_flagship()})
+GROUP BY p
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus rollup (ops/text.corpus_stats): doc/token totals,
     language-routed quality keep-rate, exact-dup rate, per-language
@@ -2002,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "corpus_stats": q_corpus_stats,
         "chunk_documents": q_chunk_documents,
+        "kg_degrees": q_kg_degrees,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "corpus_curation": q_corpus_curation,
@@ -2056,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _oracle_tfidf_terms(),
         "corpus_stats": _oracle_corpus_stats(),
         "chunk_documents": _oracle_chunk_documents(),
+        "kg_degrees": _oracle_kg_degrees(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
         "corpus_curation": _oracle_corpus_curation(),
