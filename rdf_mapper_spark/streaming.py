@@ -298,3 +298,44 @@ def aggregate_quads_windowed(
         .groupBy(F.window(F.col(ts_col), window), F.col("p"))
         .agg(F.count(F.lit(1)).alias("n_quads"))
     )
+
+
+def stateful_doc_dedup(doc_stream: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-micro-batch EXACT document dedup for continuous ingestion:
+    the first document with a given content fingerprint (md5 of the
+    normalized token stream — ops/text.fingerprint, so whitespace
+    variants collapse) is emitted; later arrivals and replays are
+    suppressed, across batches AND restarts (state is checkpointed).
+
+    `applyInPandasWithState` keyed on the fingerprint holds one boolean
+    per distinct document — state tracks distinct content, not stream
+    volume (RocksDB-backed at scale).  The streaming face of
+    ops/dedup.exact_dedup; near-dup classes stay batch jobs over the
+    accumulated store (their candidate generation needs corpus-wide
+    bucketing that has no bounded per-key state)."""
+    import pandas as pd  # noqa: F401  (imported for the UDF runtime)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from rdf_mapper_spark.ops.text import fingerprint
+
+    keyed = doc_stream.withColumn(
+        "__fp", fingerprint(F.col(text_col))).groupBy("__fp")
+    out_schema = f"{id_col} bigint, {text_col} string"
+
+    def emit_first(key, pdf_iter, state: GroupState):
+        if state.exists:
+            return iter(())
+        state.update((True,))
+        for pdf in pdf_iter:
+            if len(pdf):
+                yield pdf.iloc[:1][[id_col, text_col]]
+                return
+
+    return keyed.applyInPandasWithState(
+        emit_first,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -219,3 +219,47 @@ def test_recover_state_dir_after_crash(tmp_path):
     mk("state.old-9", "old9")
     _recover_state_dir(state)
     assert (tmp_path / "state" / "part-0.parquet").read_text() == "old9"
+
+
+def test_stateful_doc_dedup_across_batches_and_restart(spark, tmp_path):
+    """Continuous-ingestion exact dedup: first occurrence wins across
+    micro-batches; whitespace variants collapse (normalized-token
+    fingerprint); replays after a RESTART stay suppressed (state is
+    checkpointed)."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from rdf_mapper_spark.streaming import stateful_doc_dedup
+
+    schema = StructType([StructField("doc_id", LongType(), False),
+                         StructField("text", StringType(), True)])
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+
+    def add_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(src / name))
+
+    add_batch("b1", [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    add_batch("b2", [(3, "alpha  beta   gamma"),   # ws variant of doc 1
+                     (4, "eta theta iota")])
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+        q = (stateful_doc_dedup(stream).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 4}
+
+    # restart: replay doc 1 verbatim + one genuinely new doc
+    add_batch("b3", [(1, "alpha beta gamma"), (5, "kappa lambda mu")])
+    run()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 4, 5}
