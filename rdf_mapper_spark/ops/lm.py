@@ -33,11 +33,11 @@ def unigram_vocab(docs: DataFrame, text_col: str = "text",
     toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("t"))
     counts = toks.groupBy("t").agg(F.count("*").alias("c"))
     w_total = counts.agg(F.sum("c").alias("total"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
-    top = (counts.withColumn("__rk", F.row_number().over(w))
-           .where(F.col("__rk") <= top_k).drop("__rk"))
+    # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition bounded heaps merged at the driver), so billions of
+    # distinct tokens never funnel through a single-task sort the way an
+    # unpartitioned row_number window would.
+    top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(top_k)
     return top.crossJoin(F.broadcast(w_total))
 
 

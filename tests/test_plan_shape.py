@@ -205,3 +205,23 @@ def test_curation_single_logical_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_unigram_vocab_topk_is_distributed(spark):
+    """The vocabulary cap must compile to TakeOrderedAndProject
+    (per-partition bounded heaps), never an unpartitioned row_number
+    window that funnels every distinct token into one task — on a web
+    corpus distinct tokens run to billions of unicode-noise strings."""
+    from rdf_mapper_spark.ops.lm import unigram_vocab
+
+    d = spark.createDataFrame(
+        [(i, f"the quick token{i % 13} fox") for i in range(40)],
+        ["doc_id", "text"])
+    plan = (unigram_vocab(d, top_k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # No full-width global sort: the token-keyed branch feeds straight
+    # into the bounded-heap top-k.  (The scalar `total` aggregate's
+    # 1-row-per-partition SinglePartition exchange is bounded and fine.)
+    assert "Sort [" not in plan, plan
