@@ -54,12 +54,71 @@ _READ_CACHE: dict = {}
 
 
 def _read_index(spark: SparkSession, path: str) -> DataFrame:
-    key = (id(spark), path)
+    # applicationId, not id(spark): CPython reuses id() after GC, so a
+    # fresh session could alias a dead session's cached plan.
+    key = (spark.sparkContext.applicationId, path)
     df = _READ_CACHE.get(key)
     if df is None:
-        df = spark.read.parquet(path)
+        meta = read_meta(path)
+        files = meta.get("files")
+        if files:
+            # Cold-start path: the sidecar manifest (written at build /
+            # append time, when the files were listed anyway) lets the
+            # first read skip the recursive partition-dir walk — the
+            # driver cost that dominated the cold indexed query.
+            # basePath keeps the bucket/cell partition column (and its
+            # IN-filter pruning) intact over explicit leaf files.
+            reader = spark.read.option("basePath", path)
+            if meta.get("schema"):
+                # Sidecar schema skips footer-based inference across
+                # every index file on the cold read.
+                from pyspark.sql.types import StructType
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(meta["schema"])))
+            # >32 explicit paths trips Spark's parallelPartitionDiscovery
+            # JOB — one tiny task per file, slower than a sequential
+            # driver stat for a bounded manifest.  Raise the threshold
+            # for this read only (restored after); a manifest past 10k
+            # files keeps the parallel job, which is right at that size.
+            thr_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+            prev = spark.conf.get(thr_key, "32")
+            if len(files) <= 10_000:
+                spark.conf.set(thr_key, str(len(files) + 1))
+            try:
+                df = reader.parquet(
+                    *[os.path.join(path, f) for f in files])
+            finally:
+                spark.conf.set(thr_key, prev)
+        else:
+            df = spark.read.parquet(path)
         _READ_CACHE[key] = df
     return df
+
+
+def _refresh_manifest(spark: SparkSession, path: str) -> list[str]:
+    """List the index's leaf parquet files (Hadoop FS — works for any
+    scheme, not just local) and record them, relative to `path`, in the
+    sidecar.  Paid once per build/append; saves it on every cold read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = fs.makeQualified(hpath).toString().rstrip("/") + "/"
+    it = fs.listFiles(hpath, True)
+    files = []
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if p.endswith(".parquet"):
+            files.append(p[len(base):] if p.startswith(base) else p)
+    return sorted(files)
+
+
+def _manifest_meta(spark: SparkSession, path: str) -> dict:
+    """files + resolved read schema for the sidecar (one listing +
+    inference pass at build time buys them for every cold read)."""
+    files = _refresh_manifest(spark, path)
+    schema = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f) for f in files]).schema.json()
+    return {"files": files, "schema": schema}
 
 
 def _invalidate(path: str) -> None:
@@ -98,10 +157,15 @@ def build_ivf_index(embeddings: DataFrame, path: str,
             .alias("cell"),
         )
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # repartition by the partition key first: one file per cell instead
+    # of (input partitions x cells) shards — bounded files per key is
+    # both the fast-listing cold start and the 100-TB layout.
+    assigned.repartition("cell") \
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
     _invalidate(path)
     meta = {"kind": "ivf", "cells": cells, "dim": len(cells[0]),
-            "n_cells": len(cells)}
+            "n_cells": len(cells),
+            **_manifest_meta(embeddings.sparkSession, path)}
     _write_meta(path, meta)
     return meta
 
@@ -159,10 +223,12 @@ def build_lsh_index(embeddings: DataFrame, path: str, dim: int,
             F.explode(F.expr(f"array({keys})")).alias("bucket"),
         )
     )
-    exploded.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    exploded.repartition("bucket") \
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
     _invalidate(path)
     meta = {"kind": "lsh", "dim": dim, "n_planes": n_planes,
-            "n_tables": n_tables, "seed": seed}
+            "n_tables": n_tables, "seed": seed,
+            **_manifest_meta(embeddings.sparkSession, path)}
     _write_meta(path, meta)
     return meta
 
@@ -253,7 +319,8 @@ def append_to_index(new_embeddings: DataFrame, path: str,
             F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
             .alias("cell"),
         )
-        assigned.write.mode("append").partitionBy("cell").parquet(path)
+        assigned.repartition("cell") \
+            .write.mode("append").partitionBy("cell").parquet(path)
     elif meta["kind"] == "lsh":
         tables = [hyperplanes(meta["dim"], meta["n_planes"],
                               meta["seed"] + 7919 * t)
@@ -267,8 +334,11 @@ def append_to_index(new_embeddings: DataFrame, path: str,
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
             F.explode(F.expr(f"array({keys})")).alias("bucket"),
         )
-        exploded.write.mode("append").partitionBy("bucket").parquet(path)
+        exploded.repartition("bucket") \
+            .write.mode("append").partitionBy("bucket").parquet(path)
     else:
         raise ValueError(f"unknown index kind {meta['kind']!r}")
     _invalidate(path)
+    meta.update(_manifest_meta(new_embeddings.sparkSession, path))
+    _write_meta(path, meta)
     return meta
