@@ -1216,6 +1216,123 @@ WHERE {u} < (CASE {cases} ELSE 0.1 END)
 """
 
 
+def _curation_neardup_src(d: DataFrame) -> DataFrame:
+    """corpus_curation's source plus a planted NEAR-dup class: doc_id%7==5
+    docs become the mirror body with one extra token varying by doc_id%3 —
+    three texts pairwise-similar to each other AND to the exact-mirror
+    class (Jaccard ~0.9), so the near-dup closure must merge them all
+    into one surviving document."""
+    doc_id = F.col("doc_id")
+    return d.select(
+        "doc_id", "lang",
+        F.concat(
+            F.when(doc_id % 7 == 3, F.lit(_MIRROR_TEXT))
+            .when(doc_id % 7 == 5,
+                  F.concat(F.lit(_MIRROR_TEXT), F.lit(" variant"),
+                           (doc_id % 3).cast("string")))
+            .otherwise(F.col("text")),
+            F.lit(" contact user"), doc_id.cast("string"),
+            F.lit("@example.com"),
+        ).alias("text"),
+    )
+
+
+def q_corpus_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_corpus with the optional NEAR-dup stage (pairs_fn=): quality
+    -> PII scrub -> exact dedup -> minhash-LSH pairs on the CLEANED text
+    -> connected components -> min-id survivor -> stratified sample.
+    The planted variant class (doc_id%7==5) survives exact dedup as three
+    distinct texts but is one near-dup component together with the mirror
+    class, so exactly one of the four texts' min-id survives.  The drop
+    side of the anti-join is bounded by the near-dup rate, not the
+    corpus."""
+    from rdf_mapper_spark.ops.dedup import minhash_lsh_pairs
+    from rdf_mapper_spark.pipeline.curation import curate_corpus
+
+    src = _curation_neardup_src(_t(spark, sf_dir, "documents"))
+    return curate_corpus(
+        src, _MIX_FRACTIONS, default_fraction=0.1, seed=7,
+        pairs_fn=lambda dd: minhash_lsh_pairs(
+            dd, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, n=2,
+            text_col="clean_text", verify_threshold=0.5),
+    )
+
+
+def _oracle_corpus_curation_neardup() -> str:
+    """The exact-curation oracle extended with the minhash pair SQL over
+    the cleaned survivors and a WITH RECURSIVE closure (min reachable id
+    = component canonical, the same rule as connected_components)."""
+    from rdf_mapper_spark.ops.text import PII_ORDER, PII_PATTERNS
+
+    clean = "text"
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        clean = (f"regexp_replace({clean}, '{pat}', "
+                 f"'<{kind.upper()}>', 'g')")
+    qual = _oracle_quality_filter().replace("FROM documents", "FROM src")
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v!r}"
+        for k, v in sorted(_MIX_FRACTIONS.items())
+    )
+    u = ("(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+         "::BIGINT * 1.0 / 1152921504606846976)")
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(_MINHASH_HASHES)
+    )
+    rows_per_band = _MINHASH_HASHES // _MINHASH_BANDS
+    band_rows = "\nUNION ALL ".join(
+        f"SELECT id, {b} band, "
+        f"md5(array_to_string(sig[{b*rows_per_band+1}:"
+        f"{(b+1)*rows_per_band}], '|')) bucket FROM sigs"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH RECURSIVE src AS (SELECT doc_id, lang,
+  (CASE WHEN doc_id % 7 = 3 THEN '{_MIRROR_TEXT}'
+        WHEN doc_id % 7 = 5 THEN '{_MIRROR_TEXT}' || ' variant' ||
+             CAST(doc_id % 3 AS VARCHAR)
+        ELSE text END) ||
+  ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' AS text
+  FROM documents),
+qual AS (SELECT doc_id FROM ({qual}) WHERE keep),
+s AS (SELECT src.doc_id, src.lang, {clean} AS clean_text
+      FROM src JOIN qual USING (doc_id)),
+dd AS (SELECT md5(clean_text) fp, MIN(doc_id) keep_id
+       FROM s GROUP BY 1),
+surv AS (SELECT s.doc_id, s.lang, s.clean_text
+         FROM s JOIN dd ON s.doc_id = dd.keep_id),
+t AS (SELECT doc_id id, list_filter(regexp_split_to_array(
+          lower(clean_text), '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') toks
+      FROM surv),
+sh_t AS (SELECT id, list_distinct(list_transform(
+          generate_series(1, greatest(len(toks) - 1, 0)),
+          i -> array_to_string(toks[i:i+1], ' '))) sh FROM t),
+sigs AS (SELECT id, [{sig_elems}] sig FROM sh_t),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.id id_a, b.id id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.id < b.id),
+sz AS (SELECT id, len(sh) sz, sh FROM sh_t),
+pairs AS (SELECT c.id_a, c.id_b
+          FROM cand c JOIN sz x ON c.id_a = x.id JOIN sz y ON c.id_b = y.id
+          WHERE ROUND(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                (x.sz + y.sz - len(list_intersect(x.sh, y.sh))), 4) >= 0.5),
+edges AS (SELECT id_a esrc, id_b edst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT id, id FROM sh_t
+  UNION
+  SELECT e.esrc, reach.r FROM edges e JOIN reach ON reach.id = e.edst
+),
+canon AS (SELECT id AS doc_id, MIN(r) AS canonical FROM reach GROUP BY id)
+SELECT doc_id, lang, clean_text
+FROM surv JOIN canon USING (doc_id)
+WHERE canonical = doc_id
+  AND {u} < (CASE {cases} ELSE 0.1 END)
+"""
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified training-mix sample
     (ops/sampling.stratified_sample): per-language keep rates, membership
@@ -2030,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "corpus_curation": q_corpus_curation,
+        "corpus_curation_neardup": q_corpus_curation_neardup,
         "text_analysis": q_text_analysis,
         "text_winnow": q_text_winnow,
         "multimodal_features": q_multimodal_features,
@@ -2085,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
         "corpus_curation": _oracle_corpus_curation(),
+        "corpus_curation_neardup": _oracle_corpus_curation_neardup(),
         "text_analysis": _oracle_text_analysis(),
         "text_winnow": _oracle_text_winnow(),
         "multimodal_features": _oracle_multimodal_features(),

@@ -34,12 +34,26 @@ from rdf_mapper_spark.ops.text import quality_reasons, redact_pii
 def curate_corpus(docs: DataFrame, fractions: dict[str, float],
                   default_fraction: float = 0.0, seed: int = 0,
                   text_col: str = "text", id_col: str = "doc_id",
-                  lang_col: str = "lang") -> DataFrame:
+                  lang_col: str = "lang",
+                  pairs_fn=None) -> DataFrame:
     """-> (doc_id, lang, clean_text) — the curated training corpus.
 
     Dedup survivor is the MIN id per cleaned-text hash (deterministic,
     resume-stable); the survivor — not an arbitrary member — is what the
-    sample rate then applies to."""
+    sample rate then applies to.
+
+    ``pairs_fn``, when given, inserts a NEAR-dup stage between exact
+    dedup and sampling: it receives the exact-deduped frame
+    (id, lang, clean_text) and must return (id_a, id_b) near-dup pairs —
+    e.g. ``lambda d: minhash_lsh_pairs(d, text_col="clean_text")`` or a
+    simhash/winnow variant.  Pairs are closed into connected components
+    and the survivor is again the MIN id per component (the same rule as
+    the exact stage, so the composition stays deterministic); dropped
+    ids are removed with a left-anti join whose build side is bounded by
+    the near-dup rate, not the corpus (AQE broadcasts it when small).
+    The exact-deduped frame is persisted because the pair operator and
+    the final output both consume it; at production scale the
+    checkpointing stage (pipeline/checkpoint.py) replaces the persist."""
     from pyspark.sql import Window
 
     kept = docs.where(
@@ -55,6 +69,21 @@ def curate_corpus(docs: DataFrame, fractions: dict[str, float],
         F.col(id_col).asc())
     deduped = (scrubbed.withColumn("__rn", F.row_number().over(w))
                .where(F.col("__rn") == 1).drop("__rn"))
+    if pairs_fn is not None:
+        from rdf_mapper_spark.pipeline.canonicalize import (
+            connected_components,
+        )
+
+        deduped = deduped.persist()
+        pairs = pairs_fn(deduped)
+        edges = pairs.select(F.col("id_a").alias("src"),
+                             F.col("id_b").alias("dst"))
+        comp = connected_components(edges)
+        # comp = min id of each component (canonicalize's label rule), so
+        # "node != comp" is exactly the non-survivor set
+        drops = comp.where(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col))
+        deduped = deduped.join(drops, id_col, "left_anti")
     rate = None
     for key, frac in sorted(fractions.items()):
         cond = F.col(lang_col).eqNullSafe(F.lit(key))

@@ -76,3 +76,39 @@ def test_curate_corpus_scrub_before_dedup(spark):
     got = {r.doc_id: r.clean_text for r in out.collect()}
     assert set(got) == {1, 3}            # 2 deduped into 1, 4 dropped
     assert "<EMAIL>" in got[1] and "a@x.io" not in got[1]
+
+
+def test_curate_corpus_neardup_stage(spark):
+    """pairs_fn= inserts near-dup clustering between exact dedup and
+    sampling: variant docs (same body, one differing token) survive exact
+    dedup as distinct texts but collapse to the min-id survivor of their
+    component; unrelated docs are untouched."""
+    from rdf_mapper_spark.ops.dedup import minhash_lsh_pairs
+    from rdf_mapper_spark.pipeline.curation import curate_corpus
+
+    body = ("the curious researchers examined the ancient library and the "
+            "students gathered around the wooden tables to discuss the "
+            "findings of the expedition in the quiet evening")
+    other = ("a completely different report about municipal water systems "
+             "and the seasonal maintenance of pumping stations across the "
+             "northern districts during the early spring inspections")
+    rows = [
+        (1, "en", body + " variant one"),
+        (2, "en", body + " variant two"),      # near-dup of 1
+        (3, "en", body + " variant three"),    # near-dup of 1 and 2
+        (5, "en", other),
+        (6, "en", other),                      # EXACT dup of 5
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = curate_corpus(
+        d, {"en": 1.0}, seed=7,
+        pairs_fn=lambda dd: minhash_lsh_pairs(
+            dd, num_hashes=16, bands=4, n=2,
+            text_col="clean_text", verify_threshold=0.5))
+    got = sorted(r.doc_id for r in out.collect())
+    # exact stage: 6 -> 5; near-dup stage: {1,2,3} -> 1
+    assert got == [1, 5]
+    # without the stage, the variants all survive
+    base = sorted(r.doc_id for r in curate_corpus(d, {"en": 1.0}, seed=7)
+                  .collect())
+    assert base == [1, 2, 3, 5]
