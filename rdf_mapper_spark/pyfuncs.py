@@ -79,6 +79,23 @@ def sha1_b32hex(*parts: str) -> str:
 
 # ---------------------------------------------------------------------------
 # Date parsing (deterministic dateparser stand-in)
+#
+# SUPPORTED CONTRACT (when the optional `dates` extra is not installed):
+# asDate/asDateTime/asDateOrDatetime accept exactly the formats below,
+# after the deterministic `_normalize_datestr` pre-pass (ordinal-suffix
+# strip, of/de filler drop, fr/de/es month-name mapping, German dotted
+# ordinals).  This table covers the reference test suite's exercised
+# forms and the common web-data formats.  KNOWN DIVERGENCES from
+# dateparser — these return None here and a value there (negative tests
+# in tests/test_pyfuncs_unit.py::test_parse_datetime_fallback_contract):
+#   * relative phrases: "2 days ago", "yesterday", "in 3 weeks"
+#   * fuzzy prose: "the 4th quarter of 2021", "sometime around June"
+#   * timezone-abbreviation forms: "June 1 2021 10:00 EST" parses but
+#     the abbreviation is DROPPED (naive 10:00); dateparser would attach
+#     the zone.  Offset forms like "+02:00" in ISO strings are honored.
+#   * non-latin-script dates (zh/ja/ar month names)
+# Installing the `dates` extra (pyproject.toml) restores full dateparser
+# behavior — it is preferred automatically when importable.
 # ---------------------------------------------------------------------------
 _DT_FORMATS = (
     "%Y-%m-%d %H:%M:%S",

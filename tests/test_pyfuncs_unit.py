@@ -185,3 +185,36 @@ def test_parse_datetime_broadened_formats():
         if want is None:
             continue
         assert got == want, (s, got)
+
+
+def test_parse_datetime_fallback_contract():
+    """The documented divergence list (pyfuncs.py _DT_FORMATS header):
+    forms dateparser would accept but the sandbox fallback intentionally
+    rejects.  If dateparser IS installed these parse — the contract only
+    binds the fallback path, so skip then."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("dateparser") is not None:
+        pytest.skip("dateparser installed: fallback contract not active")
+    from rdf_mapper_spark.pyfuncs import parse_datetime
+
+    known_unsupported = [
+        "2 days ago",                      # relative
+        "yesterday",                       # relative
+        "in 3 weeks",                      # relative
+        "the 4th quarter of 2021",         # fuzzy prose
+        "sometime around June",            # fuzzy prose
+        "2021年6月1日",                     # non-latin script
+    ]
+    for s in known_unsupported:
+        assert parse_datetime(s) is None, s
+    # tz-abbreviation divergence: parses, but the zone is DROPPED
+    # (dateparser would attach it)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = parse_datetime("June 1 2021 10:00 EST")
+    assert got is not None and got.hour == 10 and got.tzinfo is None
