@@ -1744,15 +1744,16 @@ SELECT id doc_id, unnest(fps) fp FROM wn
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via mapInPandas (decode stubbed).
-
-    The raw `array<float>` feature is not canonicalizable by the harness
-    (lists are unhashable in the pandas sort), so the exposed query projects
-    it back to the md5 bytes the fake extractor derived it from:
-    feature[i] = (h[i]/255)*2-1  =>  h[i] = round((feature[i]+1)/2*255).
-    That integer fingerprint is exact (float32 has far more precision than
-    1/255 steps) and DuckDB can recompute it from md5 hex directly, giving
-    this operator a full value oracle instead of a rows-only check."""
+    """Binary-payload feature extraction via mapInPandas with REAL pure-
+    Python decoders (ops/multimodal.py): P6 PPM images are header-parsed
+    to (w, h, rgb), WAV audio is read through the stdlib wave module to
+    int16 samples; video stays a declared stub (byte stats of the
+    encoded stream).  Features are integer-valued (dims, sums, extrema,
+    crossings) so float32 holds them exactly and DuckDB recomputes the
+    whole construction — container framing included — from md5(text)
+    tiling.  The raw array<float> is not canonicalizable by the harness
+    (lists are unhashable in the pandas sort), so the query projects the
+    comma-joined integer fingerprint."""
     from rdf_mapper_spark.ops.multimodal import extract_features, synth_media
 
     media = synth_media(_t(spark, sf_dir, "documents"))
@@ -1761,18 +1762,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind", "n_bytes",
         F.concat_ws(
             ",",
-            F.transform(
-                "feature",
-                lambda x: F.round((x.cast("double") + 1.0) / 2.0 * 255.0)
-                .cast("int").cast("string"),
-            ),
+            F.transform("feature",
+                        lambda x: x.cast("double").cast("long")
+                        .cast("string")),
         ).alias("feature_fp"),
     )
 
 
 def _oracle_multimodal_features() -> str:
-    # replicate synth_media + the fake md5 feature extractor:
-    # payload = utf-8 bytes of text, feature bytes = first 8 md5 digest bytes
+    """Mirrors synth_media's payload construction (md5(text) digest tiled
+    into a P6 PPM / 16-bit WAV / raw stream) and the decoder's integer
+    feature vectors, all in closed form over the 16 digest bytes."""
     hexpos = "strpos('0123456789abcdef', {c}) - 1"
     hi = hexpos.format(c="substr(hx, 2*i + 1, 1)")
     lo = hexpos.format(c="substr(hx, 2*i + 2, 1)")
@@ -1781,15 +1781,53 @@ WITH m AS (
   SELECT doc_id AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'image'
                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         CAST(strlen(text) AS BIGINT) AS n_bytes,
-         md5(text) AS hx
-  FROM documents)
-SELECT media_id, kind, n_bytes,
-       array_to_string(
+         doc_id % 32 + 16 AS w,
+         (n_chars % 50 + 10) * 8 AS ns,
+         n_chars % 200 + 16 AS vlen,
+         list_transform(generate_series(0, 15),
+           i -> ({hi}) * 16 + ({lo})) AS b
+  FROM documents,
+       LATERAL (SELECT md5(text) AS hx) h),
+-- int16 samples from consecutive little-endian byte pairs of the digest
+au AS (
+  SELECT media_id,
          list_transform(generate_series(0, 7),
-                        i -> ({hi}) * 16 + ({lo})),
-         ',') AS feature_fp
-FROM m
+           j -> CASE WHEN b[2*j+1] + 256 * b[2*j+2] > 32767
+                     THEN b[2*j+1] + 256 * b[2*j+2] - 65536
+                     ELSE b[2*j+1] + 256 * b[2*j+2] END) AS s
+  FROM m WHERE kind = 'audio'),
+feat AS (
+  SELECT m.media_id, m.kind,
+    CASE m.kind
+      WHEN 'image' THEN 12 + w * 24
+      WHEN 'audio' THEN 44 + 2 * ns
+      ELSE vlen END AS n_bytes,
+    CASE m.kind
+      WHEN 'image' THEN [
+        w, 8, w * 8,
+        (w * 24 // 16) * list_sum(b) +
+          coalesce(list_sum(b[1:(w * 24 % 16)]), 0),
+        list_min(b), list_max(b), b[1], b[((w * 24 - 1) % 16) + 1]]
+      WHEN 'audio' THEN [
+        ns,
+        (ns // 8) * list_sum(list_transform(s, x -> abs(x))),
+        list_min(s), list_max(s),
+        (ns // 8) * len(list_filter(generate_series(2, 8),
+                                    j -> s[j-1] * s[j] < 0)) +
+          (ns // 8 - 1) * (CASE WHEN s[8] * s[1] < 0 THEN 1 ELSE 0 END),
+        (ns // 8) * len(list_filter(s, x -> x > 0)),
+        s[1], s[8]]
+      ELSE [
+        vlen,
+        (vlen // 16) * list_sum(b) +
+          coalesce(list_sum(b[1:(vlen % 16)]), 0),
+        list_min(b), list_max(b), b[1], b[((vlen - 1) % 16) + 1],
+        0, 0] END AS fv
+  FROM m LEFT JOIN au ON m.media_id = au.media_id)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       array_to_string(list_transform(fv, x -> CAST(x AS VARCHAR)),
+                       ',') AS feature_fp
+FROM feat
 """
 
 
