@@ -1467,6 +1467,106 @@ FROM w WHERE len(chunk) > 0
 """
 
 
+_PARA_BANNER = "subscribe to the newsletter for updates"
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup (ops/dedup.dedup_paragraphs —
+    RefinedWeb-style): docs are laced into paragraphs (own text + a
+    corpus-wide banner + for doc_id%4==1 a second shared footer); only
+    the FIRST occurrence of each paragraph corpus-wide survives, docs
+    reassemble from their surviving paragraphs.  One md5(paragraph)-
+    keyed window shuffle + one regroup; the hot banner key costs its
+    row count, never df^2."""
+    from rdf_mapper_spark.ops.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    laced = F.concat_ws(
+        "\n", F.col("text"), F.lit(_PARA_BANNER),
+        F.when(doc_id % 4 == 1, F.lit("all rights reserved footer"))
+        .otherwise(F.concat(F.lit("closing note "), doc_id.cast("string"))),
+    )
+    return dedup_paragraphs(d.select("doc_id", laced.alias("text")))
+
+
+def _oracle_dedup_paragraphs() -> str:
+    return f"""
+WITH src AS (SELECT doc_id,
+  text || chr(10) || '{_PARA_BANNER}' || chr(10) ||
+  (CASE WHEN doc_id % 4 = 1 THEN 'all rights reserved footer'
+        ELSE 'closing note ' || CAST(doc_id AS VARCHAR) END) AS text
+  FROM documents),
+t AS (SELECT doc_id, string_split(text, chr(10)) ps FROM src),
+p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
+      FROM t, unnest(generate_series(1, len(ps))) AS u(i)
+      WHERE trim(ps[i]) <> ''),
+k AS (SELECT doc_id, pos, para,
+        ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) rn
+      FROM p)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+_HOST_CAP = 10
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (ops/sampling.cap_per_key): keep the
+    `cap` lowest doc_ids per source — the per-site quota that stops one
+    mega-host dominating the mix.  Two-phase salted top-k, so a hot key
+    is ranked across n_salt tasks before the definitive bounded window
+    (<= n_salt*cap rows per key) — identical result to the naive single
+    window, without its one-task-per-hot-key wall."""
+    from rdf_mapper_spark.ops.sampling import cap_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_key(d, "source", _HOST_CAP).select("doc_id", "source")
+
+
+def _oracle_cap_per_source() -> str:
+    return f"""
+SELECT doc_id, source FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= {_HOST_CAP}
+"""
+
+
+_PACK_BUDGET = 256
+_PACK_GROUP = 64
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (ops/text.pack_sequences): running
+    token count within deterministic co-packing groups (doc_id //
+    group_size), pack index = exclusive cumsum // budget.  Per-group
+    windows parallelize where a global ordered cumsum would be a
+    single-task plan; fragmentation cost is bounded by one budget per
+    group."""
+    from rdf_mapper_spark.ops.text import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget_tokens=_PACK_BUDGET,
+                          group_size=_PACK_GROUP)
+
+
+def _oracle_pack_sequences() -> str:
+    toks = ("len(list_filter(regexp_split_to_array(lower(text), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> ''))")
+    return f"""
+WITH b AS (SELECT doc_id, doc_id // {_PACK_GROUP} AS grp,
+                  CAST({toks} AS INT) AS n_tok
+           FROM documents),
+c AS (SELECT doc_id, grp, n_tok,
+        COALESCE(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM b)
+SELECT doc_id, grp, start_tok // {_PACK_BUDGET} AS pack_id, n_tok,
+       start_tok
+FROM c
+"""
+
+
 def q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG analytics composed on the engine's own output: per-predicate
     triple counts and distinct subject/object degrees over the flagship
@@ -2181,6 +2281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "corpus_stats": q_corpus_stats,
         "chunk_documents": q_chunk_documents,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "cap_per_source": q_cap_per_source,
+        "pack_sequences": q_pack_sequences,
         "kg_degrees": q_kg_degrees,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
@@ -2237,6 +2340,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _oracle_tfidf_terms(),
         "corpus_stats": _oracle_corpus_stats(),
         "chunk_documents": _oracle_chunk_documents(),
+        "dedup_paragraphs": _oracle_dedup_paragraphs(),
+        "cap_per_source": _oracle_cap_per_source(),
+        "pack_sequences": _oracle_pack_sequences(),
         "kg_degrees": _oracle_kg_degrees(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),

@@ -654,3 +654,45 @@ def contaminated_docs_bloom(docs: DataFrame, benchmark: DataFrame,
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     sep: str = "\n") -> DataFrame:
+    """Paragraph-granular exact dedup (the RefinedWeb/MassiveText recipe
+    done at sub-document level): every paragraph keeps only its FIRST
+    occurrence corpus-wide — ordered by (doc id, position) — and each
+    document is reassembled from its surviving paragraphs in order.
+    -> (doc_id, text); documents whose every paragraph was a repeat
+    disappear (their text would be empty).
+
+    Scale shape: one explode, ONE shuffle keyed by md5(paragraph) (the
+    window that finds the first occurrence; hashing bounds the shuffle
+    key width — full-text keys would move the corpus twice), one
+    regroup by doc.  Boilerplate paragraphs (navigation, footers) are
+    exactly the hot keys: the window only ranks them, never joins them
+    pairwise, so a 10^8-fold repeated footer costs its row count, not
+    df^2.  Whitespace-only paragraphs are dropped (they carry no
+    content and would conflate under the hash key).
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("pos", "para"),
+    ).where(F.trim(F.col("para")) != "")
+    w = Window.partitionBy(F.md5("para")).orderBy(
+        F.col(id_col).asc(), F.col("pos").asc())
+    kept = (paras.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"]),
+            sep).alias(text_col))
+    )

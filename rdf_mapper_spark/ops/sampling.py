@@ -52,3 +52,31 @@ def stratified_sample(docs: DataFrame, strata_col: str,
     rate = (rate.otherwise(F.lit(float(default_fraction)))
             if rate is not None else F.lit(float(default_fraction)))
     return docs.where(sample_uniform(F.col(id_col), seed) < rate)
+
+
+def cap_per_key(docs: DataFrame, key_col: str, cap: int,
+                order_col: str = "doc_id",
+                n_salt: int = 16) -> DataFrame:
+    """Frequency capping: keep at most `cap` documents per key (host,
+    domain, source feed), deterministically the `cap` smallest by
+    `order_col` — the per-domain quota every web-corpus recipe applies
+    so one mega-site cannot dominate the training mix.
+
+    Two-phase top-k so a hot key cannot pin a single task: phase one
+    ranks within (key, salt-of-order) sub-windows and keeps `cap` per
+    sub-window — a mega-host's rows split across `n_salt` tasks — so
+    phase two's definitive per-key window sees at most n_salt * cap
+    rows per key regardless of the key's true frequency.  Result is
+    identical to the naive single window (the global cap-smallest
+    survive both phases by transitivity of the per-subgroup rank).
+    """
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salt))
+    w1 = Window.partitionBy(F.col(key_col), salt).orderBy(
+        F.col(order_col).asc())
+    pre = (docs.withColumn("__rn1", F.row_number().over(w1))
+           .where(F.col("__rn1") <= cap).drop("__rn1"))
+    w2 = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    return (pre.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= cap).drop("__rn"))

@@ -574,3 +574,43 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
         )
         .where(F.col("n_tok") > 0)
     )
+
+
+def pack_sequences(docs: DataFrame, budget_tokens: int = 2048,
+                   group_size: int = 1024, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences ->
+    (doc_id, grp, pack_id, n_tok, start_tok): the packing step between
+    chunking and batch assembly.
+
+    Packing is done WITHIN deterministic co-packing groups
+    (grp = doc_id // group_size) ordered by doc id: the running token
+    count over the group, divided by the budget, is the pack index, and
+    `start_tok` is the document's offset into its group's token stream.
+    A document longer than the budget still gets one pack (the trainer
+    splits it downstream — chunk first if that matters).
+
+    The grouping is the scale decision: a GLOBAL ordered cumulative sum
+    is a single-task window (the exact plan shape the unigram-vocab fix
+    removed), while per-group windows partition by grp and parallelize
+    — the only cross-group effect is that the last pack of each group
+    may run short, a fragmentation cost of at most one budget per
+    group, negligible at group_size >> budget/avg_doc_tokens.  Pure
+    window aggregation, ONE shuffle keyed by grp."""
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col))
+    grp = (F.col(id_col) / F.lit(group_size)).cast("long")
+    w = (Window.partitionBy("grp").orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = docs.select(F.col(id_col), grp.alias("grp"),
+                       n_tok.alias("n_tok"))
+    return base.select(
+        id_col, "grp", "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("start_tok"),
+    ).select(
+        id_col, "grp",
+        (F.col("start_tok") / F.lit(budget_tokens)).cast("long")
+        .alias("pack_id"),
+        "n_tok", "start_tok",
+    )
