@@ -90,6 +90,34 @@ UNION ALL SELECT {null}, 'iri', s, '{KGB}/def/chars', 'literal',
 """
 
 
+def q_kg_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basic-graph-pattern query (rdf_mapper_spark/query.bgp_query) over
+    the flagship engine output — the READ side of the KG: a 4-pattern
+    star join (type + constant-language filter + two value patterns)
+    compiled to filtered projections equi-joined on the shared subject
+    variable.  Most-constrained-first ordering; Catalyst/AQE pick the
+    join strategy; no Python, no interpreter loop."""
+    from rdf_mapper_spark.query import bgp_query
+
+    quads = q_kg_flagship(spark, sf_dir)
+    return bgp_query(quads, [
+        ("?d", RDF_TYPE, KGB + "/def/Document"),
+        ("?d", DCT + "language", "en"),
+        ("?d", KGB + "/def/source", "?src"),
+        ("?d", KGB + "/def/chars", "?n"),
+    ]).select("d", "src", "n")
+
+
+def _oracle_kg_bgp_star() -> str:
+    # the BGP is definitionally the inverse of the flagship mapping for
+    # en docs: one row per (subject, source, chars)
+    return f"""
+SELECT DISTINCT {_doc_subject_sql()} AS d, source AS src,
+       CAST(n_chars AS VARCHAR) AS n
+FROM documents WHERE lang = 'en'
+"""
+
+
 FILTERED_SPEC = {
     "globals": {"$datasetBase": KGB},
     "resources": [{
@@ -2248,6 +2276,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_flagship": q_kg_flagship,
+        "kg_bgp_star": q_kg_bgp_star,
         "kg_filters": q_kg_filters,
         "kg_explode_tokens": q_kg_explode_tokens,
         "kg_typed_literals": q_kg_typed_literals,
@@ -2305,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_flagship": _oracle_kg_flagship(),
+        "kg_bgp_star": _oracle_kg_bgp_star(),
         "kg_filters": _oracle_kg_filters(),
         "kg_explode_tokens": _oracle_kg_explode_tokens(),
         "kg_typed_literals": _oracle_kg_typed_literals(),

@@ -1,0 +1,82 @@
+"""Basic-graph-pattern (BGP) queries over the engine's quad output — the
+read side of the knowledge graph.
+
+A BGP is a conjunction of triple patterns whose terms are either
+constants or `?var` variables (the SPARQL core).  Each pattern compiles
+to a filtered projection of the quad table; shared variables between
+patterns become equi-join keys, so Catalyst/AQE choose the physical
+join (broadcast for selective patterns, shuffle otherwise) and the
+whole query stays declarative DataFrame algebra — no interpreter loop,
+no Python on the executors.
+
+Scale notes:
+* Patterns are evaluated most-constrained-first (fewest variables), the
+  classic selectivity heuristic, so early joins shrink the stream before
+  wide patterns like (?s, ?p, ?o) touch it.
+* A star join (many patterns sharing one subject variable) shuffles on
+  the same key each time; AQE's exchange reuse collapses the repeated
+  scans at runtime.
+* Patterns with NO shared variable multiply bindings (legal BGP
+  cartesian semantics) — the compiler uses an explicit crossJoin there
+  so the plan shows the cost honestly.
+
+Variables bind: subject IRI (s), predicate IRI (p), and the LEXICAL
+object value (o column; datatype/lang tags ride in odt/olg and are not
+matched — extend the pattern tuple if a query needs typed matching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS = ("s", "p", "o")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
+              select: list[str] | None = None,
+              graph: str | None = None,
+              distinct: bool = True) -> DataFrame:
+    """Evaluate a conjunction of (s, p, o) triple patterns.
+
+    -> one column per variable (name without the '?'), restricted to
+    `select` if given.  `graph` filters to one named graph (None = the
+    default graph, matching quads with NULL g).  `distinct` applies
+    set semantics over the projected bindings (SPARQL SELECT DISTINCT);
+    pass False to keep duplicate solutions.
+    """
+    if not patterns:
+        raise ValueError("empty BGP")
+    g_match = (F.col("g").isNull() if graph is None
+               else (F.col("g") == graph))
+
+    def compile_pattern(pat: tuple[str, str, str]) -> DataFrame:
+        df = quads.where(g_match)
+        cols, seen = [], {}
+        for pos, term in zip(_POS, pat):
+            if _is_var(term):
+                name = term[1:]
+                if name in seen:  # repeated var inside one pattern
+                    df = df.where(F.col(pos) == F.col(seen[name]))
+                else:
+                    seen[name] = pos
+                    cols.append(F.col(pos).alias(name))
+            else:
+                df = df.where(F.col(pos) == term)
+        return df.select(*cols)
+
+    # most-constrained-first: fewer variables = more selective filters
+    ordered = sorted(patterns,
+                     key=lambda p: sum(1 for t in p if _is_var(t)))
+    out = compile_pattern(ordered[0])
+    for pat in ordered[1:]:
+        nxt = compile_pattern(pat)
+        shared = [c for c in nxt.columns if c in out.columns]
+        out = out.join(nxt, shared) if shared else out.crossJoin(nxt)
+    if select:
+        out = out.select(*[v.lstrip("?") for v in select])
+    return out.distinct() if distinct else out

@@ -1,0 +1,86 @@
+"""BGP query compiler over quad tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_mapper_spark.query import bgp_query
+
+QUAD_SCHEMA = ("g string, sk string, s string, p string, ok string, "
+               "o string, odt string, olg string")
+
+
+def _quads(spark, triples, g=None):
+    rows = [(g, "iri", s, p, "literal", o, None, None)
+            for s, p, o in triples]
+    return spark.createDataFrame(rows, QUAD_SCHEMA)
+
+
+def test_bgp_star_join_and_constants(spark):
+    q = _quads(spark, [
+        ("d1", "type", "Doc"), ("d1", "lang", "en"), ("d1", "src", "a"),
+        ("d2", "type", "Doc"), ("d2", "lang", "fr"), ("d2", "src", "b"),
+        ("d3", "type", "Img"), ("d3", "lang", "en"), ("d3", "src", "c"),
+    ])
+    out = bgp_query(q, [("?d", "type", "Doc"),
+                        ("?d", "lang", "en"),
+                        ("?d", "src", "?s")]).collect()
+    assert [(r.d, r.s) for r in out] == [("d1", "a")]
+
+
+def test_bgp_predicate_variable_and_spo(spark):
+    q = _quads(spark, [("x", "p1", "1"), ("x", "p2", "2")])
+    out = {(r.p, r.o) for r in
+           bgp_query(q, [("x", "?p", "?o")]).collect()}
+    assert out == {("p1", "1"), ("p2", "2")}
+    # fully unconstrained pattern binds everything
+    assert bgp_query(q, [("?s", "?p", "?o")]).count() == 2
+
+
+def test_bgp_repeated_variable_in_one_pattern(spark):
+    q = _quads(spark, [("a", "sameAs", "a"), ("a", "sameAs", "b")])
+    out = bgp_query(q, [("?x", "sameAs", "?x")]).collect()
+    assert [r.x for r in out] == ["a"]
+
+
+def test_bgp_chain_join_across_positions(spark):
+    # ?a knows ?b / ?b knows ?c  -> path of length 2
+    q = _quads(spark, [("a", "knows", "b"), ("b", "knows", "c"),
+                       ("c", "knows", "d")])
+    out = {(r.a, r.b, r.c) for r in
+           bgp_query(q, [("?a", "knows", "?b"),
+                         ("?b", "knows", "?c")]).collect()}
+    assert out == {("a", "b", "c"), ("b", "c", "d")}
+
+
+def test_bgp_graph_routing_and_distinct(spark):
+    default = _quads(spark, [("s", "p", "o")])
+    named = _quads(spark, [("s", "p", "o2")], g="http://g/1")
+    q = default.unionByName(named)
+    assert [r.o for r in bgp_query(q, [("s", "p", "?o")]).collect()] == ["o"]
+    assert [r.o for r in bgp_query(q, [("s", "p", "?o")],
+                                   graph="http://g/1").collect()] == ["o2"]
+    # duplicate solutions collapse under distinct (set semantics)
+    dup = _quads(spark, [("s", "p", "o"), ("s", "q", "o")])
+    assert bgp_query(dup, [("s", "?any", "?o")],
+                     select=["?o"]).count() == 1
+
+
+def test_bgp_disjoint_patterns_cross_product(spark):
+    q = _quads(spark, [("a", "p", "1"), ("b", "r", "2")])
+    out = bgp_query(q, [("?x", "p", "?v"), ("?y", "r", "?w")]).collect()
+    assert len(out) == 1 and out[0].x == "a" and out[0].y == "b"
+
+
+def test_bgp_empty_patterns_rejected(spark):
+    q = _quads(spark, [("a", "p", "1")])
+    with pytest.raises(ValueError):
+        bgp_query(q, [])
+
+
+def test_bgp_star_plan_no_cartesian_no_python(spark):
+    q = _quads(spark, [(f"d{i}", p, f"v{i}") for i in range(20)
+                       for p in ("type", "src")])
+    plan = (bgp_query(q, [("?d", "type", "?t"), ("?d", "src", "?s")])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
