@@ -118,6 +118,52 @@ FROM documents WHERE lang = 'en'
 """
 
 
+CITES_SPEC = {
+    "globals": {"$datasetBase": KGB},
+    "resources": [{
+        "name": "document",
+        "guard": "doc_id > 0",
+        "properties": {
+            "@id": "<" + KGB + "/data/document/{doc_id}>",
+            "<{$datasetBase}/def/cites>": "<" + KGB
+            + "/data/document/{parent}>",
+        },
+    }],
+}
+
+
+def q_kg_path_cites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded property-path reachability (query.path_query — SPARQL
+    `cites{1,3}`): the engine emits a citation TREE (doc cites
+    doc_id//2), then iterative frontier joins find every pair within 3
+    hops with its MINIMUM hop count.  Each hop is one shuffle join
+    bounded by the reachable-pair count; the anti-join against the
+    reached set terminates cycles and keeps hops minimal."""
+    from rdf_mapper_spark.engine import MapperEngine
+    from rdf_mapper_spark.query import path_query
+    from rdf_mapper_spark.spec import MappingSpec
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "parent", (F.col("doc_id") / 2).cast("long"))
+    engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
+    quads = engine.apply(docs, file_name="documents")
+    return path_query(quads, KGB + "/def/cites", max_hops=3)
+
+
+def _oracle_kg_path_cites() -> str:
+    # tree edges c -> c//2 make the k-hop closure closed-form:
+    # dst = src // 2^k, valid while the (k-1)-hop ancestor is > 0
+    s = "'" + KGB + "/data/document/' || CAST({x} AS VARCHAR)"
+    rows = []
+    for k in (1, 2, 3):
+        rows.append(
+            f"SELECT {s.format(x='doc_id')} AS src, "
+            f"{s.format(x=f'doc_id // {1 << k}')} AS dst, {k} AS hops "
+            f"FROM documents WHERE doc_id // {1 << (k - 1)} >= 1"
+        )
+    return "\nUNION ALL ".join(rows)
+
+
 FILTERED_SPEC = {
     "globals": {"$datasetBase": KGB},
     "resources": [{
@@ -2277,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_flagship": q_kg_flagship,
         "kg_bgp_star": q_kg_bgp_star,
+        "kg_path_cites": q_kg_path_cites,
         "kg_filters": q_kg_filters,
         "kg_explode_tokens": q_kg_explode_tokens,
         "kg_typed_literals": q_kg_typed_literals,
@@ -2335,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_flagship": _oracle_kg_flagship(),
         "kg_bgp_star": _oracle_kg_bgp_star(),
+        "kg_path_cites": _oracle_kg_path_cites(),
         "kg_filters": _oracle_kg_filters(),
         "kg_explode_tokens": _oracle_kg_explode_tokens(),
         "kg_typed_literals": _oracle_kg_typed_literals(),

@@ -80,3 +80,41 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
     if select:
         out = out.select(*[v.lstrip("?") for v in select])
     return out.distinct() if distinct else out
+
+
+def path_query(quads: DataFrame, pred: str, max_hops: int,
+               graph: str | None = None) -> DataFrame:
+    """Bounded property-path reachability: all (src, dst, hops) pairs
+    connected by 1..max_hops applications of `pred` (SPARQL `pred{1,k}`),
+    `hops` = the MINIMUM path length.
+
+    Iterative frontier expansion — hop k+1 joins the hop-k frontier with
+    the edge set, anti-joined against everything already reached so each
+    pair is emitted at its first (minimal) hop and cycles terminate.
+    Every iteration is one shuffle join bounded by the reachable-pair
+    count; max_hops bounds the loop, which is the honest contract for a
+    distributed engine (unbounded `+` closure belongs to the connected-
+    components machinery in pipeline/canonicalize, which this reuses
+    nothing from — paths are directional and hop-labelled).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    g_match = (F.col("g").isNull() if graph is None
+               else (F.col("g") == graph))
+    edges = (quads.where(g_match & (F.col("p") == pred))
+             .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+             .distinct())
+    reached = edges.select("src", "dst", F.lit(1).alias("hops"))
+    frontier = reached
+    for k in range(2, max_hops + 1):
+        step = (
+            frontier.select("src", F.col("dst").alias("mid"))
+            .join(edges.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst").distinct()
+            .join(reached.select("src", "dst"), ["src", "dst"],
+                  "left_anti")
+            .select("src", "dst", F.lit(k).alias("hops"))
+        )
+        reached = reached.unionByName(step)
+        frontier = step
+    return reached

@@ -84,3 +84,34 @@ def test_bgp_star_plan_no_cartesian_no_python(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_path_query_min_hops_and_cycle_termination(spark):
+    from rdf_mapper_spark.query import path_query
+
+    # chain a->b->c->d plus a shortcut a->c and a 2-cycle x<->y
+    q = _quads(spark, [
+        ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"),
+        ("a", "next", "c"),
+        ("x", "next", "y"), ("y", "next", "x"),
+    ])
+    got = {(r.src, r.dst): r.hops
+           for r in path_query(q, "next", max_hops=3).collect()}
+    assert got[("a", "b")] == 1
+    assert got[("a", "c")] == 1          # shortcut wins over 2-hop path
+    assert got[("a", "d")] == 2          # via the shortcut
+    assert got[("b", "d")] == 2
+    # cycle: reachable both ways, self-reachability at hop 2, no blowup
+    assert got[("x", "y")] == 1 and got[("y", "x")] == 1
+    assert got[("x", "x")] == 2 and got[("y", "y")] == 2
+    # 6 edges + 4 new 2-hop pairs (ad, bd, xx, yy); hop 3 adds nothing
+    assert len(got) == 10
+
+
+def test_path_query_other_predicates_ignored(spark):
+    from rdf_mapper_spark.query import path_query
+
+    q = _quads(spark, [("a", "next", "b"), ("b", "other", "c")])
+    got = {(r.src, r.dst) for r in
+           path_query(q, "next", max_hops=2).collect()}
+    assert got == {("a", "b")}
