@@ -658,6 +658,41 @@ GROUP BY c_mktsegment
 """
 
 
+_SESSION_GAP_MIN = 30
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization + rollup (ops/events.py): a user's
+    events split into sessions at >30-min gaps (lag + running-sum
+    windows, both partitioned by user — ONE user-keyed shuffle), then
+    an associative per-session aggregate with map-side partials."""
+    from rdf_mapper_spark.ops.events import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"),
+                         gap_minutes=_SESSION_GAP_MIN)
+
+
+def _oracle_session_stats() -> str:
+    gap = _SESSION_GAP_MIN * 60
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > {gap}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM s)
+SELECT user_id, session_idx,
+       CAST(user_id AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR)
+         AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM c GROUP BY user_id, session_idx, session_id
+"""
+
+
 def q_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -2338,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "top_events_per_type": q_top_events_per_type,
+        "session_stats": q_session_stats,
         "event_rollup": q_event_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2397,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _oracle_pricing_summary(),
         "segment_revenue": _oracle_segment_revenue(),
         "top_events_per_type": _oracle_top_events_per_type(),
+        "session_stats": _oracle_session_stats(),
         "event_rollup": _oracle_event_rollup(),
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_jaccard": _oracle_dedup_jaccard(),

@@ -152,6 +152,10 @@ def main() -> None:
         "decontaminate", "pii_scrub", "repetition_metrics",
         "corpus_curation", "lm_logprob", "tfidf_terms",
         "chunk_documents", "corpus_stats",
+        # round 5: near-dup curation, sub-document dedup, capping,
+        # packing, and the KG read side (BGP star + property path)
+        "corpus_curation_neardup", "dedup_paragraphs", "cap_per_source",
+        "pack_sequences", "kg_bgp_star", "kg_path_cites",
     ]
     queries = entry_mod.queries()
 
