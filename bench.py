@@ -155,7 +155,7 @@ def main() -> None:
         # round 5: near-dup curation, sub-document dedup, capping,
         # packing, and the KG read side (BGP star + property path)
         "corpus_curation_neardup", "dedup_paragraphs", "cap_per_source",
-        "pack_sequences", "kg_bgp_star", "kg_path_cites",
+        "pack_sequences", "kg_bgp_star", "kg_path_cites", "session_stats",
     ]
     queries = entry_mod.queries()
 
