@@ -682,8 +682,9 @@ WITH s AS (
          THEN 1 ELSE 0 END AS is_new
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 c AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-    ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM s)
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+    AS session_idx FROM s)
 SELECT user_id, session_idx,
        CAST(user_id AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR)
          AS session_id,
@@ -1667,8 +1668,9 @@ WITH b AS (SELECT doc_id, doc_id // {_PACK_GROUP} AS grp,
                   CAST({toks} AS INT) AS n_tok
            FROM documents),
 c AS (SELECT doc_id, grp, n_tok,
-        COALESCE(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS start_tok
       FROM b)
 SELECT doc_id, grp, start_tok // {_PACK_BUDGET} AS pack_id, n_tok,
        start_tok
