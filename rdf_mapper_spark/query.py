@@ -83,7 +83,8 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
 
 
 def path_query(quads: DataFrame, pred: str, max_hops: int,
-               graph: str | None = None) -> DataFrame:
+               graph: str | None = None,
+               materialize: bool = True) -> DataFrame:
     """Bounded property-path reachability: all (src, dst, hops) pairs
     connected by 1..max_hops applications of `pred` (SPARQL `pred{1,k}`),
     `hops` = the MINIMUM path length.
@@ -96,18 +97,29 @@ def path_query(quads: DataFrame, pred: str, max_hops: int,
     distributed engine (unbounded `+` closure belongs to the connected-
     components machinery in pipeline/canonicalize, which this reuses
     nothing from — paths are directional and hop-labelled).
+
+    `materialize` localCheckpoints the edge set and each frontier
+    (eager, lineage-truncating) — without it a lazy k-step chain
+    re-derives hop 1 inside every later branch, the classic iterative-
+    plan blowup (measured 19.5 s -> ~5 s on the 600k-quad citation
+    bench at k=3).  Pass False only for tiny inputs where plan-compile
+    cost dominates.
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     g_match = (F.col("g").isNull() if graph is None
                else (F.col("g") == graph))
-    edges = (quads.where(g_match & (F.col("p") == pred))
-             .select(F.col("s").alias("src"), F.col("o").alias("dst"))
-             .distinct())
+
+    def mat(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if materialize else df
+
+    edges = mat(quads.where(g_match & (F.col("p") == pred))
+                .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+                .distinct())
     reached = edges.select("src", "dst", F.lit(1).alias("hops"))
     frontier = reached
     for k in range(2, max_hops + 1):
-        step = (
+        step = mat(
             frontier.select("src", F.col("dst").alias("mid"))
             .join(edges.select(F.col("src").alias("mid"), "dst"), "mid")
             .select("src", "dst").distinct()

@@ -225,3 +225,30 @@ def test_unigram_vocab_topk_is_distributed(spark):
     # into the bounded-heap top-k.  (The scalar `total` aggregate's
     # 1-row-per-partition SinglePartition exchange is bounded and fine.)
     assert "Sort [" not in plan, plan
+
+
+def test_dedup_paragraphs_two_shuffles_no_python(spark):
+    """One md5(paragraph)-keyed window exchange + one doc regroup —
+    never a paragraph-text shuffle key, never Python."""
+    from rdf_mapper_spark.ops.dedup import dedup_paragraphs
+
+    d = spark.createDataFrame(
+        [(i, f"alpha {i}\nshared line\nbeta {i}") for i in range(20)],
+        ["doc_id", "text"])
+    plan = (dedup_paragraphs(d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 2, plan
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cap_per_key_no_single_partition(spark):
+    from rdf_mapper_spark.ops.sampling import cap_per_key
+
+    d = spark.createDataFrame(
+        [(i, "hot" if i % 2 else f"k{i}") for i in range(40)],
+        ["doc_id", "k"])
+    plan = (cap_per_key(d, "k", 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan
