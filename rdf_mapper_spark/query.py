@@ -40,7 +40,8 @@ def _is_var(term: str) -> bool:
 def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
               select: list[str] | None = None,
               graph: str | None = None,
-              distinct: bool = True) -> DataFrame:
+              distinct: bool = True,
+              materialize: bool = False) -> DataFrame:
     """Evaluate a conjunction of (s, p, o) triple patterns.
 
     -> one column per variable (name without the '?'), restricted to
@@ -48,9 +49,21 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
     default graph, matching quads with NULL g).  `distinct` applies
     set semantics over the projected bindings (SPARQL SELECT DISTINCT);
     pass False to keep duplicate solutions.
+
+    `materialize` localCheckpoints the quad input first.  Use it when
+    `quads` is an EXPENSIVE computed plan that pattern filters cannot
+    prune (e.g. downstream of a shuffle or UDF).  Engine output usually
+    does NOT need it: the mapping emits a union of per-property
+    projections with literal p, so each pattern's p=const filter folds
+    non-matching branches to empty relations and only the matching
+    branch's scan survives.  Stored quad tables never need it — the
+    pattern constants push down into the parquet scan (and prune, if
+    the store partitions by predicate).
     """
     if not patterns:
         raise ValueError("empty BGP")
+    if materialize:
+        quads = quads.localCheckpoint(eager=True)
     g_match = (F.col("g").isNull() if graph is None
                else (F.col("g") == graph))
 
