@@ -123,6 +123,57 @@ FROM documents WHERE lang = 'en'
 """
 
 
+def q_kg_entity_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide entity-table materialization (query.entity_table): the quad
+    store pivoted back to one row per subject with one column per
+    predicate via conditional aggregates — ONE subject-keyed shuffle
+    with map-side partials instead of the N-way self-join a star BGP
+    performs.  Multi-valued predicates collapse to MIN(o),
+    deterministic."""
+    from rdf_mapper_spark.query import entity_table
+
+    quads = q_kg_flagship(spark, sf_dir)
+    return entity_table(quads, {
+        "lang": DCT + "language",
+        "source": KGB + "/def/source",
+        "chars": KGB + "/def/chars",
+    })
+
+
+def _oracle_kg_entity_table() -> str:
+    return f"""
+SELECT {_doc_subject_sql()} AS s, lang, source,
+       CAST(n_chars AS VARCHAR) AS chars
+FROM documents
+"""
+
+
+def q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style per-predicate dataset profile (query.predicate_stats):
+    triple count + exact distinct subjects/objects per predicate, one
+    predicate-keyed aggregation over the engine output."""
+    from rdf_mapper_spark.query import predicate_stats
+
+    return predicate_stats(q_kg_flagship(spark, sf_dir))
+
+
+def _oracle_kg_predicate_stats() -> str:
+    s = _doc_subject_sql()
+    rows = [
+        (RDF_TYPE, "'" + KGB + "/def/Document'"),
+        (DCT + "language", "lang"),
+        (KGB + "/def/source", "source"),
+        (KGB + "/def/chars", "CAST(n_chars AS VARCHAR)"),
+    ]
+    selects = [
+        f"SELECT '{p}' AS p, CAST(COUNT(*) AS BIGINT) n_triples, "
+        f"CAST(COUNT(DISTINCT {s}) AS BIGINT) n_subjects, "
+        f"CAST(COUNT(DISTINCT {o}) AS BIGINT) n_objects FROM documents"
+        for p, o in rows
+    ]
+    return "\nUNION ALL ".join(selects)
+
+
 CITES_SPEC = {
     "globals": {"$datasetBase": KGB},
     "resources": [{
@@ -2366,6 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_flagship": q_kg_flagship,
         "kg_bgp_star": q_kg_bgp_star,
         "kg_path_cites": q_kg_path_cites,
+        "kg_entity_table": q_kg_entity_table,
+        "kg_predicate_stats": q_kg_predicate_stats,
         "kg_filters": q_kg_filters,
         "kg_explode_tokens": q_kg_explode_tokens,
         "kg_typed_literals": q_kg_typed_literals,
@@ -2426,6 +2479,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_flagship": _oracle_kg_flagship(),
         "kg_bgp_star": _oracle_kg_bgp_star(),
         "kg_path_cites": _oracle_kg_path_cites(),
+        "kg_entity_table": _oracle_kg_entity_table(),
+        "kg_predicate_stats": _oracle_kg_predicate_stats(),
         "kg_filters": _oracle_kg_filters(),
         "kg_explode_tokens": _oracle_kg_explode_tokens(),
         "kg_typed_literals": _oracle_kg_typed_literals(),

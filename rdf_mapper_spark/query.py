@@ -143,3 +143,47 @@ def path_query(quads: DataFrame, pred: str, max_hops: int,
         reached = reached.unionByName(step)
         frontier = step
     return reached
+
+
+def entity_table(quads: DataFrame, predicates: dict[str, str],
+                 graph: str | None = None) -> DataFrame:
+    """Materialize a WIDE entity table from the quad store: one row per
+    subject, one column per requested predicate (alias -> predicate
+    IRI) — the 'graph tables' shape downstream SQL consumers join
+    against instead of self-joining quads per attribute.
+
+    Multi-valued predicates collapse deterministically to the MINIMUM
+    lexical object (document the contract, don't sample).  One
+    subject-keyed aggregation with map-side partials; conditional
+    aggregates avoid the N-way self-join a naive star query would do.
+    """
+    g_match = (F.col("g").isNull() if graph is None
+               else (F.col("g") == graph))
+    preds = list(predicates.items())
+    base = quads.where(
+        g_match & F.col("p").isin([p for _, p in preds]))
+    return base.groupBy(F.col("s")).agg(*[
+        F.min(F.when(F.col("p") == pred, F.col("o"))).alias(alias)
+        for alias, pred in preds
+    ])
+
+
+def predicate_stats(quads: DataFrame,
+                    graph: str | None = None) -> DataFrame:
+    """VoID-style per-predicate dataset statistics: triple count,
+    distinct subjects, distinct objects for every predicate — the
+    dataset-description rollup RDF publishers ship next to a graph
+    (and the profile a query planner wants before ordering BGP joins).
+    One predicate-keyed aggregation; distinct counts are exact
+    (count_distinct's internal expand), which is right for a stats job
+    that runs once per snapshot — swap in approx_count_distinct when
+    5% error is acceptable for a continuous monitor."""
+    g_match = (F.col("g").isNull() if graph is None
+               else (F.col("g") == graph))
+    return (
+        quads.where(g_match)
+        .groupBy(F.col("p"))
+        .agg(F.count("*").alias("n_triples"),
+             F.countDistinct("s").alias("n_subjects"),
+             F.countDistinct("o").alias("n_objects"))
+    )

@@ -115,3 +115,31 @@ def test_path_query_other_predicates_ignored(spark):
     got = {(r.src, r.dst) for r in
            path_query(q, "next", max_hops=2).collect()}
     assert got == {("a", "b")}
+
+
+def test_entity_table_min_collapse_and_missing(spark):
+    from rdf_mapper_spark.query import entity_table
+
+    q = _quads(spark, [
+        ("e1", "name", "zeta"), ("e1", "name", "alpha"),  # multi-valued
+        ("e1", "age", "30"),
+        ("e2", "name", "solo"),                            # no age
+    ])
+    out = {r.s: r for r in entity_table(
+        q, {"name": "name", "age": "age"}).collect()}
+    assert out["e1"].name == "alpha" and out["e1"].age == "30"
+    assert out["e2"].name == "solo" and out["e2"].age is None
+
+
+def test_predicate_stats_counts(spark):
+    from rdf_mapper_spark.query import predicate_stats
+
+    q = _quads(spark, [
+        ("a", "p", "1"), ("b", "p", "1"), ("a", "p", "2"),
+        ("a", "q", "x"),
+    ])
+    out = {r.p: r for r in predicate_stats(q).collect()}
+    assert (out["p"].n_triples, out["p"].n_subjects,
+            out["p"].n_objects) == (3, 2, 2)
+    assert (out["q"].n_triples, out["q"].n_subjects,
+            out["q"].n_objects) == (1, 1, 1)
