@@ -174,6 +174,43 @@ def _oracle_kg_predicate_stats() -> str:
     return "\nUNION ALL ".join(selects)
 
 
+def q_kg_shape_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation (rdf_mapper_spark/validate.py): shapes
+    target a class, constraints (minCount/maxCount/datatype/pattern)
+    evaluate as ONE subject-keyed conditional aggregation per shape +
+    one join with the focus set; violation fan-out is a pure-Column
+    array filter+explode.  The fixture shape requires a predicate no
+    document carries (every doc -> minCount violation) and a source
+    pattern only single-digit sources match (src10+ -> pattern
+    violation), so the violation set is closed-form."""
+    from rdf_mapper_spark.validate import validate_shapes
+
+    quads = q_kg_flagship(spark, sf_dir)
+    return validate_shapes(quads, [{
+        "name": "DocumentShape",
+        "target_class": KGB + "/def/Document",
+        "properties": [
+            {"path": KGB + "/def/chars", "min_count": 1,
+             "datatype": XSD + "integer"},
+            {"path": KGB + "/def/source", "pattern": "^src[0-9]$"},
+            {"path": DCT + "language", "max_count": 1},
+            {"path": KGB + "/def/missing", "min_count": 1},
+        ],
+    }])
+
+
+def _oracle_kg_shape_violations() -> str:
+    s = _doc_subject_sql()
+    return f"""
+SELECT {s} AS focus, 'DocumentShape' AS shape,
+       '{KGB}/def/missing' AS path, 'minCount' AS kind, '0' AS detail
+FROM documents
+UNION ALL
+SELECT {s}, 'DocumentShape', '{KGB}/def/source', 'pattern', '1'
+FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+"""
+
+
 CITES_SPEC = {
     "globals": {"$datasetBase": KGB},
     "resources": [{
@@ -2419,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_cites": q_kg_path_cites,
         "kg_entity_table": q_kg_entity_table,
         "kg_predicate_stats": q_kg_predicate_stats,
+        "kg_shape_violations": q_kg_shape_violations,
         "kg_filters": q_kg_filters,
         "kg_explode_tokens": q_kg_explode_tokens,
         "kg_typed_literals": q_kg_typed_literals,
@@ -2481,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_cites": _oracle_kg_path_cites(),
         "kg_entity_table": _oracle_kg_entity_table(),
         "kg_predicate_stats": _oracle_kg_predicate_stats(),
+        "kg_shape_violations": _oracle_kg_shape_violations(),
         "kg_filters": _oracle_kg_filters(),
         "kg_explode_tokens": _oracle_kg_explode_tokens(),
         "kg_typed_literals": _oracle_kg_typed_literals(),
