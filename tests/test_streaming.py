@@ -263,3 +263,55 @@ def test_stateful_doc_dedup_across_batches_and_restart(spark, tmp_path):
     run()
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2, 4, 5}
+
+
+def test_windowed_quad_counts_append_semantics(spark, tmp_path):
+    """aggregate_quads_windowed: append mode emits each window exactly
+    ONCE, only after the watermark passes its end; rows arriving within
+    the allowed lateness are counted into their still-open window.
+    (Spark guarantees acceptance within the watermark delay; dropping
+    beyond it is best-effort, so that side is deliberately not
+    asserted.)"""
+    import datetime as dt
+
+    from pyspark.sql.types import (StringType, StructField, StructType,
+                                   TimestampType)
+
+    from rdf_mapper_spark.streaming import aggregate_quads_windowed
+
+    schema = StructType([StructField("ts", TimestampType(), True),
+                         StructField("p", StringType(), True)])
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    m = dt.timedelta(minutes=1)
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def add_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(src / name))
+
+    # batch 1: the 9:00 window + a 9:10 row -> watermark advances to 9:08
+    add_batch("b1", [(t0, "P"), (t0 + 0.5 * m, "P"), (t0 + 10 * m, "P")])
+    # batch 2: 9:09:30 is AHEAD of the 9:08 watermark (within lateness)
+    # -> must be accepted into its open [9:09,9:10) window; 9:15 then
+    # pushes the watermark past both windows, finalizing them
+    add_batch("b2", [(t0 + 9.5 * m, "P"), (t0 + 15 * m, "Q")])
+
+    out = str(tmp_path / "out")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    q = (aggregate_quads_windowed(stream, window="1 minute",
+                                  watermark="2 minutes")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    emitted = [((r.window.start, r.p), r.n_quads)
+               for r in spark.read.parquet(out).collect()]
+    rows = dict(emitted)
+    # append mode: one emission per finalized window, never duplicates
+    assert len(emitted) == len(rows)
+    assert rows[(t0, "P")] >= 2                 # the 9:00 window emitted
+    assert rows[(t0 + 9.5 * m - 0.5 * m, "P")] == 1   # in-lateness row counted
+    assert rows[(t0 + 10 * m, "P")] == 1        # 9:10 window finalized by 9:15
