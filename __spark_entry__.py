@@ -787,6 +787,33 @@ FROM c GROUP BY user_id, session_idx, session_id
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment (ops/events.asof_join): every click picks up the
+    latest preceding view's value for the same user.  Tagged-union +
+    ONE user-keyed forward-fill window — no range join, no Python; the
+    oracle is DuckDB's native ASOF JOIN."""
+    from rdf_mapper_spark.ops.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value"))
+    return asof_join(clicks, views, "user_id", "ts", ["view_value"])
+
+
+def _oracle_events_asof() -> str:
+    return """
+SELECT c.event_id, c.user_id, c.ts,
+       v.ts AS matched_ts, v.value AS view_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 def q_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -2472,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_revenue": q_segment_revenue,
         "top_events_per_type": q_top_events_per_type,
         "session_stats": q_session_stats,
+        "events_asof": q_events_asof,
         "event_rollup": q_event_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2535,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": _oracle_segment_revenue(),
         "top_events_per_type": _oracle_top_events_per_type(),
         "session_stats": _oracle_session_stats(),
+        "events_asof": _oracle_events_asof(),
         "event_rollup": _oracle_event_rollup(),
         "dedup_exact": _oracle_dedup_exact(),
         "dedup_jaccard": _oracle_dedup_jaccard(),

@@ -66,3 +66,45 @@ def session_stats(events: DataFrame, gap_minutes: int = 30,
             F.round(F.sum(value_col), 2).alias("value_sum"),
         )
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
+              value_cols: list[str]) -> DataFrame:
+    """As-of (last-known-value) join: every left row picks up the MOST
+    RECENT right row with the same key and right.ts <= left.ts — the
+    enrichment primitive for event streams (attach the latest snapshot,
+    price, or preceding event without an O(n^2) range join).
+
+    Implementation is the scalable tagged-union trick, not a join at
+    all: union both sides, ONE per-key window ordered by (ts, side
+    right-first so ties match), forward-fill the right values with
+    last(ignorenulls), keep the left rows.  One shuffle keyed by `on`;
+    no per-row Python; ties on equal right (key, ts) are broken by the
+    union order and should be pre-deduplicated by the caller for full
+    determinism.  `value_cols` must not collide with left column names;
+    the matched right timestamp rides along as `matched_ts` (NULL = no
+    earlier right row, exactly LEFT OUTER asof semantics).
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    l = left.withColumn("__side", F.lit(1))
+    r = right.select(
+        F.col(on), F.col(ts_col),
+        F.col(ts_col).alias("matched_ts"),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("__side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(on)
+         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = u.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
+          for c in ["matched_ts", *value_cols]],
+    )
+    return filled.where(F.col("__side") == 1).select(
+        *lcols,
+        F.col("__f_matched_ts").alias("matched_ts"),
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    )
