@@ -339,3 +339,33 @@ def stateful_doc_dedup(doc_stream: DataFrame, text_col: str = "text",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_session_stats(events_stream: DataFrame,
+                         gap: str = "30 minutes",
+                         watermark: str = "1 hour",
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         value_col: str = "value") -> DataFrame:
+    """Continuous sessionization with Spark's native session windows:
+    per-user sessions merge while events arrive within `gap`, close once
+    the watermark passes session end + gap, and emit exactly once in
+    append mode — the streaming twin of ops/events.session_stats.
+
+    Boundary contract: `session_window` starts a NEW session when the
+    inter-event gap is >= the gap duration (window end = ts + gap,
+    non-overlapping), while the batch operator splits on gap > threshold
+    — an event at EXACTLY the gap boundary lands differently.  Both are
+    valid conventions; callers comparing the two should avoid
+    exact-boundary fixtures (tests/test_streaming.py does).
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(value_col), 2).alias("value_sum"))
+        .select(user_col,
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events", "value_sum")
+    )

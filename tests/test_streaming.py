@@ -315,3 +315,57 @@ def test_windowed_quad_counts_append_semantics(spark, tmp_path):
     assert rows[(t0, "P")] >= 2                 # the 9:00 window emitted
     assert rows[(t0 + 9.5 * m - 0.5 * m, "P")] == 1   # in-lateness row counted
     assert rows[(t0 + 10 * m, "P")] == 1        # 9:10 window finalized by 9:15
+
+
+def test_stream_session_stats_matches_batch(spark, tmp_path):
+    """Native session_window streaming sessionization == the batch
+    gap-split operator on the same events (no exact-boundary gaps in
+    the fixture; see the boundary-contract note in
+    streaming.stream_session_stats)."""
+    import datetime as dt
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType, TimestampType)
+
+    from rdf_mapper_spark.ops.events import session_stats
+    from rdf_mapper_spark.streaming import stream_session_stats
+
+    schema = StructType([StructField("event_id", LongType(), True),
+                         StructField("ts", TimestampType(), True),
+                         StructField("user_id", LongType(), True),
+                         StructField("value", DoubleType(), True)])
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 7, 1.5), (2, t0 + 10 * m, 7, 2.5),     # session A (u7)
+        (3, t0 + 50 * m, 7, 4.0),                      # gap 40m -> B
+        (4, t0 + 5 * m, 8, 1.0),                       # u8 session
+        # far-future row per user so the watermark closes every session
+        (5, t0 + 600 * m, 7, 0.0), (6, t0 + 600 * m, 8, 0.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows[:4], schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[4:], schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+
+    out = str(tmp_path / "out")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    q = (stream_session_stats(stream, gap="30 minutes",
+                              watermark="10 minutes")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    streamed = {(r.user_id, r.session_start): (r.n_events, r.value_sum)
+                for r in spark.read.parquet(out).collect()}
+    batch = session_stats(
+        spark.createDataFrame(rows, schema), gap_minutes=30)
+    expected = {(r.user_id, r.session_start): (r.n_events, r.value_sum)
+                for r in batch.collect()
+                if r.session_start < t0 + 600 * m}  # sentinels still open
+    assert expected.items() <= streamed.items()
+    assert len(expected) == 3  # u7 x2 + u8 x1 closed sessions
