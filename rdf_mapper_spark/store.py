@@ -1,0 +1,65 @@
+"""Stored quad tables: the materialized layout BGP queries read at scale.
+
+`pipeline/run.py` materializes graph tables partitioned by named graph
+(the write-side layout); this module adds the READ-optimized variant: a
+quad table partitioned by PREDICATE.  Predicate cardinality is small
+(tens to hundreds — it's the ontology, not the data), every BGP pattern
+with a constant predicate prunes to its directory statically, and the
+remaining s/o constants push down into parquet row-group stats.  This
+is the hive-partitioned stand-in for the Iceberg graph tables the
+production deployment writes (SURVEY.md Iceberg notes).
+
+Skew note: hot predicates (rdf:type) make big partitions — harmless
+for scans (they split by file), and `files_per_partition` bounds the
+file count per directory the same way compaction bounds per-graph
+files.  NULL graph rides in a sentinel column value so the default
+graph round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NULL_G = "__default__"
+QUAD_COLS = ["g", "sk", "s", "p", "ok", "o", "odt", "olg"]
+
+
+def write_quad_store(quads: DataFrame, path: str,
+                     files_per_partition: int = 4) -> None:
+    """Write `partitionBy(p)`; the predicate lands in directory names
+    (URL-encoded by Spark) and comes back on read.  Repartition by
+    (p, salted s) first so each predicate directory holds a bounded
+    number of similar-sized files instead of one shard per input task."""
+    spread = F.pmod(F.xxhash64("s"), F.lit(files_per_partition))
+    (quads
+     .withColumn("g", F.coalesce(F.col("g"), F.lit(_NULL_G)))
+     .repartition(F.col("p"), spread)
+     .write.mode("overwrite").partitionBy("p").parquet(path))
+
+
+def read_quad_store(spark: SparkSession, path: str) -> DataFrame:
+    """-> the quad DataFrame with the NULL-graph sentinel decoded.  A
+    `p = <const>` filter on this frame becomes static partition pruning
+    (asserted in tests/test_store.py)."""
+    df = spark.read.parquet(path)
+    return df.select(
+        F.when(F.col("g") == _NULL_G, F.lit(None).cast("string"))
+        .otherwise(F.col("g")).alias("g"),
+        *[c for c in QUAD_COLS if c != "g"],
+    )
+
+
+def scan_files_for(spark: SparkSession, path: str, pred: str) -> int:
+    """Diagnostic: number of files the pruned scan for predicate `pred`
+    actually touches — read from the executed scan node's numFiles
+    metric (inputFiles() reports the unfiltered FileIndex; the plan's
+    toString omits the metric)."""
+    df = spark.read.parquet(path).where(F.col("p") == pred)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan, plan
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().head()
+    return scan.metrics().apply("numFiles").value()
