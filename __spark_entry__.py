@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -121,6 +122,36 @@ SELECT DISTINCT {_doc_subject_sql()} AS d, source AS src,
        CAST(n_chars AS VARCHAR) AS n
 FROM documents WHERE lang = 'en'
 """
+
+
+def _ensure_quad_store(spark: SparkSession, sf_dir: str) -> str:
+    from rdf_mapper_spark.store import write_quad_store
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"quad_store_{os.path.basename(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_quad_store(q_kg_flagship(spark, sf_dir), path)
+    return path
+
+
+def q_kg_bgp_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same star BGP as kg_bgp_star, but over the PREDICATE-
+    PARTITIONED stored quad table (rdf_mapper_spark/store.py): each
+    constant-predicate pattern prunes statically to its directory, the
+    s/o constants push into parquet stats — the read path a 100-TB
+    deployment runs.  Same oracle as kg_bgp_star: the layout must not
+    change the answer."""
+    from rdf_mapper_spark.query import bgp_query
+    from rdf_mapper_spark.store import read_quad_store
+
+    path = _ensure_quad_store(spark, sf_dir)
+    stored = read_quad_store(spark, path)
+    return bgp_query(stored, [
+        ("?d", RDF_TYPE, KGB + "/def/Document"),
+        ("?d", DCT + "language", "en"),
+        ("?d", KGB + "/def/source", "?src"),
+        ("?d", KGB + "/def/chars", "?n"),
+    ]).select("d", "src", "n")
 
 
 def q_kg_entity_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2480,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_flagship": q_kg_flagship,
         "kg_bgp_star": q_kg_bgp_star,
+        "kg_bgp_stored": q_kg_bgp_stored,
         "kg_path_cites": q_kg_path_cites,
         "kg_entity_table": q_kg_entity_table,
         "kg_predicate_stats": q_kg_predicate_stats,
@@ -2544,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_flagship": _oracle_kg_flagship(),
         "kg_bgp_star": _oracle_kg_bgp_star(),
+        "kg_bgp_stored": _oracle_kg_bgp_star(),
         "kg_path_cites": _oracle_kg_path_cites(),
         "kg_entity_table": _oracle_kg_entity_table(),
         "kg_predicate_stats": _oracle_kg_predicate_stats(),

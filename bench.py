@@ -157,7 +157,7 @@ def main() -> None:
         "corpus_curation_neardup", "dedup_paragraphs", "cap_per_source",
         "pack_sequences", "kg_bgp_star", "kg_path_cites", "session_stats",
         "kg_entity_table", "kg_predicate_stats", "kg_shape_violations",
-        "events_asof",
+        "events_asof", "kg_bgp_stored",
     ]
     queries = entry_mod.queries()
 
