@@ -173,6 +173,14 @@ def main() -> None:
         t0 = time.time()
         ensure(spark, sf_dir)
         extras[f"ann_index_build_{kind}_sec"] = round(time.time() - t0, 3)
+    # same policy for the predicate-partitioned quad store: fresh build,
+    # timed separately, headline row measures query-only cost
+    qs = os.path.join(tempfile.gettempdir(),
+                      f"quad_store_{os.path.basename(sf_dir)}")
+    shutil.rmtree(qs, ignore_errors=True)
+    t0 = time.time()
+    entry_mod._ensure_quad_store(spark, sf_dir)
+    extras["quad_store_build_sec"] = round(time.time() - t0, 3)
     for name in headline:
         trials = []
         for _ in range(2):
