@@ -51,9 +51,12 @@ def curate_corpus(docs: DataFrame, fractions: dict[str, float],
     the exact stage, so the composition stays deterministic); dropped
     ids are removed with a left-anti join whose build side is bounded by
     the near-dup rate, not the corpus (AQE broadcasts it when small).
-    The exact-deduped frame is persisted because the pair operator and
-    the final output both consume it; at production scale the
-    checkpointing stage (pipeline/checkpoint.py) replaces the persist."""
+    The exact-deduped frame is localCheckpointed (eager) because the
+    pair operator and the final output both consume it — lineage-
+    truncating, and the blocks free themselves when the frame is
+    garbage-collected, unlike a persist that would accumulate in the
+    cache manager across calls; at production scale the checkpointing
+    stage (pipeline/checkpoint.py) replaces it with a durable write."""
     from pyspark.sql import Window
 
     kept = docs.where(
@@ -74,7 +77,7 @@ def curate_corpus(docs: DataFrame, fractions: dict[str, float],
             connected_components,
         )
 
-        deduped = deduped.persist()
+        deduped = deduped.localCheckpoint(eager=True)
         pairs = pairs_fn(deduped)
         edges = pairs.select(F.col("id_a").alias("src"),
                              F.col("id_b").alias("dst"))
