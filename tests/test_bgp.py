@@ -143,3 +143,70 @@ def test_predicate_stats_counts(spark):
             out["p"].n_objects) == (3, 2, 2)
     assert (out["q"].n_triples, out["q"].n_subjects,
             out["q"].n_objects) == (1, 1, 1)
+
+
+def test_entity_table_plan_single_agg_no_join(spark):
+    from rdf_mapper_spark.query import entity_table
+
+    q = _quads(spark, [(f"e{i}", p, f"v{i}") for i in range(10)
+                       for p in ("a", "b")])
+    plan = (entity_table(q, {"a": "a", "b": "b"})
+            ._jdf.queryExecution().executedPlan().toString())
+    # conditional aggregation: 2 exchanges (partial+final), no join
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_bgp_differential_vs_python_evaluator(spark):
+    """Differential check: bgp_query on a small random-ish graph must
+    equal a brute-force Python evaluator over every pattern shape the
+    compiler handles (constants in any position, shared vars, chains,
+    cross products)."""
+    import itertools
+
+    triples = [(f"s{i % 5}", f"p{i % 3}", f"o{i % 4}") for i in range(30)]
+    triples += [("s0", "p9", "s1"), ("s1", "p9", "s2")]
+    q = _quads(spark, sorted(set(triples)))
+    tset = sorted(set(triples))
+
+    def brute(patterns):
+        sols = [dict()]
+        for pat in sorted(patterns,
+                          key=lambda p: sum(t.startswith("?") for t in p)):
+            new = []
+            for binding in sols:
+                for t in tset:
+                    b = dict(binding)
+                    ok = True
+                    for term, val in zip(pat, t):
+                        if term.startswith("?"):
+                            name = term[1:]
+                            if name in b and b[name] != val:
+                                ok = False
+                                break
+                            b[name] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        new.append(b)
+            sols = new
+        names = sorted({t[1:] for pat in patterns
+                        for t in pat if t.startswith("?")})
+        return {tuple(b[n] for n in names) for b in sols}, names
+
+    cases = [
+        [("?x", "p0", "?y")],
+        [("?x", "?p", "?y")],
+        [("?x", "p0", "?y"), ("?x", "p1", "?z")],
+        [("?x", "p9", "?y"), ("?y", "p9", "?z")],
+        [("s0", "?p", "?o")],
+        [("?x", "p0", "o0"), ("?x", "p2", "?v")],
+        [("?a", "p0", "?b"), ("?c", "p9", "?d")],   # disjoint
+        [("?x", "p9", "?x")],                        # repeated var
+    ]
+    for patterns in cases:
+        want, names = brute(patterns)
+        got = {tuple(getattr(r, n) for n in names)
+               for r in bgp_query(q, patterns).collect()}
+        assert got == want, (patterns, got ^ want)
