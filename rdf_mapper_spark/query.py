@@ -46,9 +46,12 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
 
     -> one column per variable (name without the '?'), restricted to
     `select` if given.  `graph` filters to one named graph (None = the
-    default graph, matching quads with NULL g).  `distinct` applies
-    set semantics over the projected bindings (SPARQL SELECT DISTINCT);
-    pass False to keep duplicate solutions.
+    default graph, matching quads with NULL g); a `"?var"` value is
+    SPARQL's `GRAPH ?var` — every pattern matches NAMED graphs only
+    (never the default graph) and the graph IRI binds to the variable,
+    joining across patterns like any other shared variable.  `distinct`
+    applies set semantics over the projected bindings (SPARQL SELECT
+    DISTINCT); pass False to keep duplicate solutions.
 
     `materialize` localCheckpoints the quad input first.  Use it when
     `quads` is an EXPENSIVE computed plan that pattern filters cannot
@@ -64,12 +67,19 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
         raise ValueError("empty BGP")
     if materialize:
         quads = quads.localCheckpoint(eager=True)
-    g_match = (F.col("g").isNull() if graph is None
-               else (F.col("g") == graph))
+    graph_var = graph[1:] if graph is not None and _is_var(graph) else None
+    if graph_var:
+        g_match = F.col("g").isNotNull()  # GRAPH ?g: named graphs only
+    else:
+        g_match = (F.col("g").isNull() if graph is None
+                   else (F.col("g") == graph))
 
     def compile_pattern(pat: tuple[str, str, str]) -> DataFrame:
         df = quads.where(g_match)
-        cols, seen = [], {}
+        # pre-seeding `seen` makes a pattern term reusing the graph
+        # variable an equality constraint against g, like any repeat
+        cols = [F.col("g").alias(graph_var)] if graph_var else []
+        seen = {graph_var: "g"} if graph_var else {}
         for pos, term in zip(_POS, pat):
             if _is_var(term):
                 name = term[1:]

@@ -210,3 +210,23 @@ def test_bgp_differential_vs_python_evaluator(spark):
         got = {tuple(getattr(r, n) for n in names)
                for r in bgp_query(q, patterns).collect()}
         assert got == want, (patterns, got ^ want)
+
+
+def test_bgp_graph_variable(spark):
+    """GRAPH ?g semantics: named graphs only, graph IRI binds and joins
+    across patterns."""
+    g1 = _quads(spark, [("s1", "p", "a"), ("s1", "q", "b")], g="http://g/1")
+    g2 = _quads(spark, [("s2", "p", "c")], g="http://g/2")
+    dflt = _quads(spark, [("s3", "p", "d")])  # default graph: excluded
+    q = g1.unionByName(g2).unionByName(dflt)
+
+    out = {(r.g, r.s, r.o) for r in
+           bgp_query(q, [("?s", "p", "?o")], graph="?g").collect()}
+    assert out == {("http://g/1", "s1", "a"), ("http://g/2", "s2", "c")}
+
+    # the graph variable JOINS across patterns: both patterns must hold
+    # within the SAME named graph
+    both = {(r.g, r.s) for r in
+            bgp_query(q, [("?s", "p", "?o"), ("?s", "q", "?v")],
+                      graph="?g").collect()}
+    assert both == {("http://g/1", "s1")}
