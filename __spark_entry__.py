@@ -125,12 +125,26 @@ FROM documents WHERE lang = 'en'
 
 
 def _ensure_quad_store(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import json
+    import shutil
+
     from rdf_mapper_spark.store import write_quad_store
 
     path = os.path.join(tempfile.gettempdir(),
                         f"quad_store_{os.path.basename(sf_dir)}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # fingerprint guards against a stale cached store when the mapping
+    # spec (or store layout) changes between rounds
+    fp = hashlib.md5(json.dumps(
+        ["store-v1", FLAGSHIP_SPEC], sort_keys=True).encode()).hexdigest()
+    marker = os.path.join(path, "_spec_fingerprint")
+    if not (os.path.exists(os.path.join(path, "_SUCCESS"))
+            and os.path.exists(marker)
+            and open(marker).read() == fp):
+        shutil.rmtree(path, ignore_errors=True)
         write_quad_store(q_kg_flagship(spark, sf_dir), path)
+        with open(marker, "w") as f:
+            f.write(fp)
     return path
 
 
