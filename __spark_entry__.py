@@ -1364,6 +1364,96 @@ def _ann_index_path(sf_dir: str, kind: str) -> str:
                         f"{kind}-{tok}")
 
 
+_PQ_M = 8       # subspaces (64-dim -> 8-dim subvectors)
+_PQ_K = 16      # codewords per subspace
+_PQ_SEED = 13
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    from rdf_mapper_spark.ops.ann_index import build_ivfpq_index
+    from rdf_mapper_spark.ops.similarity import centroids, pq_codebooks
+
+    path = _ann_index_path(sf_dir, "ivfpq")
+    if not os.path.exists(os.path.join(path, "_ann_meta.json")):
+        build_ivfpq_index(
+            _t(spark, sf_dir, "embeddings"), path,
+            centroids(_EMB_DIM, _IVF_CELLS, 7),
+            pq_codebooks(_EMB_DIM, _PQ_M, _PQ_K, _PQ_SEED))
+    return path
+
+
+def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse-cell partition pruning + product-quantized codes
+    (ops/ann_index.build_ivfpq_index).  The stored index holds 8 small
+    ints per vector instead of 64 floats — the memory side of the ANN
+    scale story — and ranking uses the asymmetric-distance (ADC)
+    approximation against the query's exact vector.  The DuckDB oracle
+    recomputes the ENTIRE construction (codes, cells, probes, explicit
+    same-order ADC sums) from the seeded codebooks."""
+    from rdf_mapper_spark.ops.ann_index import ivfpq_topk_indexed
+
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"))
+    return ivfpq_topk_indexed(spark, path, queries, k=10,
+                              nprobe=_IVF_NPROBE)
+
+
+def _oracle_ann_ivfpq() -> str:
+    from rdf_mapper_spark.ops.similarity import (
+        centroids,
+        pq_adc_sql,
+        pq_codebooks,
+        pq_codes_sql,
+    )
+
+    cells = centroids(_EMB_DIM, _IVF_CELLS, 7)
+    codebooks = pq_codebooks(_EMB_DIM, _PQ_M, _PQ_K, _PQ_SEED)
+    dots = ("[" + ", ".join(
+        "list_inner_product(v, [" + ", ".join(repr(x) for x in c) + "])"
+        for c in cells
+    ) + "]")
+    codes = pq_codes_sql(
+        lambda i: f"v[{i + 1}]", codebooks,
+        lambda a: f"list_position({a}, list_min({a}))",
+        lambda items: "[" + ", ".join(items) + "]")
+    cb_lits = [
+        "[" + ", ".join(
+            "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cw) + "]"
+            for cw in cb) + "]"
+        for cb in codebooks
+    ]
+    cw_selects = ", ".join(
+        f"list_extract({cb_lits[j]}, list_extract(codes, {j + 1})) cw_{j}"
+        for j in range(_PQ_M))
+    dist = pq_adc_sql(
+        lambda i: f"qv[{i + 1}]", codebooks,
+        lambda j, i: f"list_extract(cw_{j}, {i + 1})")
+    return f"""
+WITH t AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+d AS (SELECT id, v, {dots} dots FROM t),
+e AS (SELECT id, list_position(dots, list_max(dots)) cell,
+             {codes} codes FROM d),
+q AS (SELECT id qid, v qv, dots FROM d WHERE id < 5),
+pr AS (SELECT qid, qv, i, list_extract(dots, i::INTEGER) dd
+       FROM q, range(1, {_IVF_CELLS + 1}) r(i)),
+probes AS (SELECT qid, qv, i::INTEGER cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dd DESC, i ASC) rk FROM pr)
+  WHERE rk <= {_IVF_NPROBE}),
+cand AS (SELECT p.qid, p.qv, e.id neighbor, e.codes
+         FROM e JOIN probes p ON e.cell = p.cell AND e.id <> p.qid),
+cw AS (SELECT qid, qv, neighbor, {cw_selects} FROM cand),
+scored AS (
+  SELECT qid, neighbor, ROUND({dist}, 4) adist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY ROUND({dist}, 4) ASC, neighbor ASC) rank
+  FROM cw)
+SELECT qid, rank, neighbor, adist FROM scored WHERE rank <= 10
+"""
+
+
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     from rdf_mapper_spark.ops.ann_index import build_ivf_index
     from rdf_mapper_spark.ops.similarity import centroids
@@ -2559,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         "ann_lsh_indexed": q_ann_lsh_indexed,
         "pii_scrub": q_pii_scrub,
         "lm_logprob": q_lm_logprob,
@@ -2626,6 +2717,7 @@ def oracle_sql() -> dict[str, str]:
         # the indexed variants are bit-identical to their recompute twins
         # (same seeded codebook/planes), so they share the same oracles
         "ann_ivf_indexed": _oracle_ann_ivf(),
+        "ann_ivfpq_indexed": _oracle_ann_ivfpq(),
         "ann_lsh_indexed": _oracle_ann_lsh(),
         "pii_scrub": _oracle_pii_scrub(),
         "lm_logprob": _oracle_lm_logprob(),

@@ -146,7 +146,7 @@ def main() -> None:
         "kg_flagship", "kg_typed_literals", "dedup_minhash_buckets",
         "dedup_simhash", "embedding_near_dups",
         "pricing_summary", "segment_revenue", "ann_topk", "ann_lsh",
-        "ann_lsh_indexed", "ann_ivf_indexed",
+        "ann_lsh_indexed", "ann_ivf_indexed", "ann_ivfpq_indexed",
         "text_analysis", "text_winnow",
         "kg_incremental", "quality_filter", "web_canonical_urls",
         "decontaminate", "pii_scrub", "repetition_metrics",
@@ -167,7 +167,8 @@ def main() -> None:
     # query-only cost against a pre-built index (fresh build each bench
     # run — the stale cache is removed first).
     for kind, ensure in (("ivf", entry_mod._ensure_ivf_index),
-                         ("lsh", entry_mod._ensure_lsh_index)):
+                         ("lsh", entry_mod._ensure_lsh_index),
+                         ("ivfpq", entry_mod._ensure_ivfpq_index)):
         p = entry_mod._ann_index_path(sf_dir, kind)
         shutil.rmtree(p, ignore_errors=True)
         t0 = time.time()

@@ -341,3 +341,70 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         .where(F.col("rank") <= k)
         .select("qid", "rank", "neighbor", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory side of the ANN scale story
+# ---------------------------------------------------------------------------
+def pq_codebooks(dim: int, m: int, k: int,
+                 seed: int = 13) -> list[list[list[float]]]:
+    """Seeded PQ codebooks: m subspaces x k codewords x (dim/m) floats.
+    As with `centroids`, a trained k-means codebook drops in identically;
+    the seeded version keeps every downstream number reproducible in the
+    DuckDB oracle without a training pass."""
+    if dim % m:
+        raise ValueError("m must divide dim")
+    rng = random.Random(seed)
+    sub = dim // m
+    return [[[rng.gauss(0.0, 1.0) for _ in range(sub)]
+             for _ in range(k)] for _ in range(m)]
+
+
+def _l2_sql(elem_fn, base: int, codeword: list[float]) -> str:
+    """Sum of squared differences between vector elements starting at
+    0-based `base` and a literal codeword — rendered as an explicit
+    left-to-right scalar sum so the SPARK and DUCKDB renderings add in
+    the same order and stay bit-identical."""
+    terms = []
+    for i, c in enumerate(codeword):
+        e = elem_fn(base + i)
+        terms.append(f"({e} - CAST({c!r} AS DOUBLE)) * "
+                     f"({e} - CAST({c!r} AS DOUBLE))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_codes_sql(elem_fn, codebooks: list[list[list[float]]],
+                 position_fn, arr_fn=None) -> str:
+    """array<int> of 1-based codeword indices (first-min argmin per
+    subspace).  `elem_fn(i0)` renders 0-based element access for the
+    engine; `position_fn(arr_sql)` renders first-position-of-min;
+    `arr_fn(items)` renders array construction (Spark `array(...)`
+    default; DuckDB passes a `[...]` renderer)."""
+    if arr_fn is None:
+        def arr_fn(items):
+            return "array(" + ", ".join(items) + ")"
+    sub = len(codebooks[0][0])
+    parts = []
+    for j, cb in enumerate(codebooks):
+        dists = [_l2_sql(elem_fn, j * sub, cw) for cw in cb]
+        parts.append(position_fn(arr_fn(dists)))
+    return arr_fn(parts)
+
+
+def pq_adc_sql(q_elem_fn, codebooks: list[list[list[float]]],
+               cw_elem_fn) -> str:
+    """Asymmetric-distance (ADC) approximation: sum over subspaces of
+    ||q_sub - codeword[codes[j]]||^2, rendered as ONE explicit
+    left-to-right scalar sum so both engines add in the same order.
+    `q_elem_fn(i0)` renders 0-based query-vector element access;
+    `cw_elem_fn(j, i)` renders element i (0-based) of the j-th
+    subspace's SELECTED codeword (the engine-specific nested lookup
+    through the stored codes column)."""
+    sub = len(codebooks[0][0])
+    terms = []
+    for j in range(len(codebooks)):
+        for i in range(sub):
+            q = q_elem_fn(j * sub + i)
+            c = cw_elem_fn(j, i)
+            terms.append(f"(({q}) - ({c})) * (({q}) - ({c}))")
+    return "(" + " + ".join(terms) + ")"

@@ -124,3 +124,61 @@ def test_append_equals_full_build(spark, tmp_path):
     append_to_index(b, l_inc)
     assert _rows(lsh_topk_indexed(spark, l_inc, q, k=5)) == \
         _rows(lsh_topk_indexed(spark, l_full, q, k=5))
+
+
+def test_ivfpq_codes_and_adc_sanity(spark, tmp_path):
+    """PQ codes are deterministic per vector; ADC distance to a vector's
+    own reconstruction is far smaller than to a distant vector's; the
+    probe scan carries the same partition filter as plain IVF."""
+    import random
+
+    from rdf_mapper_spark.ops.ann_index import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        read_meta,
+    )
+    from rdf_mapper_spark.ops.similarity import centroids, pq_codebooks
+
+    rng = random.Random(5)
+    near = [[1.0 + rng.gauss(0, .01) for _ in range(DIM)]
+            for _ in range(6)]
+    far = [[-1.0 + rng.gauss(0, .01) for _ in range(DIM)]
+           for _ in range(6)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(near + far)], SCHEMA)
+    path = str(tmp_path / "ivfpq")
+    cells = centroids(DIM, 4, seed=7)
+    build_ivfpq_index(emb, path, cells,
+                      pq_codebooks(DIM, 4, 8, seed=13))
+    meta = read_meta(path)
+    assert meta["kind"] == "ivfpq" and len(meta["codebooks"]) == 4
+    stored = {r.vec_id: list(r.codes)
+              for r in spark.read.parquet(path).collect()}
+    # near-identical vectors quantize to identical codes
+    assert stored[0] == stored[1] == stored[2]
+    assert stored[6] == stored[7]
+    assert stored[0] != stored[6]
+
+    q = spark.createDataFrame([(0, near[0]), (6, far[0])],
+                              "qid long, qvec array<double>")
+    out = ivfpq_topk_indexed(spark, path, q, k=4, nprobe=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    # ADC ranks the same-cluster vectors above the opposite cluster
+    assert {r.neighbor for r in by_q[0][:3]} <= set(range(6))
+    assert {r.neighbor for r in by_q[6][:3]} <= set(range(6, 12))
+
+
+def test_ivfpq_index_does_not_store_vectors(spark, tmp_path):
+    """The compression contract: the stored index carries codes + cell,
+    never the raw vector."""
+    from rdf_mapper_spark.ops.ann_index import build_ivfpq_index
+    from rdf_mapper_spark.ops.similarity import centroids, pq_codebooks
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, centroids(DIM, 4, seed=7),
+                      pq_codebooks(DIM, 4, 8, seed=13))
+    cols = set(spark.read.parquet(path).columns)
+    assert cols == {"vec_id", "codes", "cell"}
