@@ -336,6 +336,20 @@ def append_to_index(new_embeddings: DataFrame, path: str,
         )
         exploded.repartition("bucket") \
             .write.mode("append").partitionBy("bucket").parquet(path)
+    elif meta["kind"] == "ivfpq":
+        # cell AND codes are pure functions of (vector, frozen
+        # codebooks), so the append-commutes-with-build property holds
+        # exactly as for ivf/lsh
+        dots = _cell_dots_sql(vec_col, meta["cells"])
+        codes = _pq_spark_codes(vec_col, meta["codebooks"])
+        assigned = clean.select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(codes).alias("codes"),
+            F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
+            .alias("cell"),
+        )
+        assigned.repartition("cell") \
+            .write.mode("append").partitionBy("cell").parquet(path)
     else:
         raise ValueError(f"unknown index kind {meta['kind']!r}")
     _invalidate(path)

@@ -182,3 +182,25 @@ def test_ivfpq_index_does_not_store_vectors(spark, tmp_path):
                       pq_codebooks(DIM, 4, 8, seed=13))
     cols = set(spark.read.parquet(path).columns)
     assert cols == {"vec_id", "codes", "cell"}
+
+
+def test_ivfpq_append_equals_full_build(spark, tmp_path):
+    from rdf_mapper_spark.ops.ann_index import (
+        append_to_index,
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+    from rdf_mapper_spark.ops.similarity import centroids, pq_codebooks
+
+    emb = _emb(spark, 120)
+    a = emb.where(F.col("vec_id") < 60)
+    b = emb.where(F.col("vec_id") >= 60)
+    q = _queries(emb)
+    cells = centroids(DIM, 8, seed=7)
+    cbs = pq_codebooks(DIM, 4, 8, seed=13)
+    p_full, p_inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_ivfpq_index(emb, p_full, cells, cbs)
+    build_ivfpq_index(a, p_inc, cells, cbs)
+    append_to_index(b, p_inc)
+    assert _rows(ivfpq_topk_indexed(spark, p_inc, q, k=5, nprobe=3)) == \
+        _rows(ivfpq_topk_indexed(spark, p_full, q, k=5, nprobe=3))
