@@ -2604,6 +2604,192 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Inference layer: RDFS materialization + owl:sameAs smushing
+# ---------------------------------------------------------------------------
+_TIER = KGB + "/def/Tier"
+_P_SPEC = KGB + "/def/localPred"
+_P_GEN = KGB + "/def/broadPred"
+_CUST_IRI = KGB + "/data/customer/"
+_NATION_IRI = KGB + "/data/nation/"
+_QUAD_SCHEMA = ("g string, sk string, s string, p string, ok string, "
+                "o string, odt string, olg string")
+
+
+def _inference_fixture_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TBox + customer-derived ABox for the inference
+    queries: a 10-deep class chain Tier0 subClassOf ... Tier9, a
+    2-level property hierarchy with domain/range, customers typed by
+    custkey % 10, and localPred links to nations for custkey % 4 == 0."""
+    from rdf_mapper_spark.inference import DOMAIN, RANGE, SUBCLASS, SUBPROP
+
+    null = F.lit(None).cast("string")
+    tbox_rows = (
+        [(None, "iri", f"{_TIER}{i}", SUBCLASS, "iri", f"{_TIER}{i + 1}",
+          None, None) for i in range(9)]
+        + [(None, "iri", _P_SPEC, SUBPROP, "iri", _P_GEN, None, None),
+           (None, "iri", _P_SPEC, DOMAIN, "iri", _TIER + "0", None, None),
+           (None, "iri", _P_SPEC, RANGE, "iri", _TIER + "5", None, None)]
+    )
+    tbox = spark.createDataFrame(tbox_rows, _QUAD_SCHEMA)
+    cust = _t(spark, sf_dir, "customer")
+    types = cust.select(
+        null.alias("g"), F.lit("iri").alias("sk"),
+        F.concat(F.lit(_CUST_IRI), F.col("c_custkey")).alias("s"),
+        F.lit(RDF_TYPE).alias("p"), F.lit("iri").alias("ok"),
+        F.concat(F.lit(_TIER), F.col("c_custkey") % 10).alias("o"),
+        null.alias("odt"), null.alias("olg"))
+    rels = cust.where(F.col("c_custkey") % 4 == 0).select(
+        null.alias("g"), F.lit("iri").alias("sk"),
+        F.concat(F.lit(_CUST_IRI), F.col("c_custkey")).alias("s"),
+        F.lit(_P_SPEC).alias("p"), F.lit("iri").alias("ok"),
+        F.concat(F.lit(_NATION_IRI), F.col("c_nationkey")).alias("o"),
+        null.alias("odt"), null.alias("olg"))
+    return tbox.unionByName(types).unionByName(rels)
+
+
+def q_kg_rdfs_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS forward-chaining (rdf_mapper_spark/inference.py): the
+    rho-df rule set (subClassOf/subPropertyOf transitivity, rdfs7
+    property lift, rdfs2/3 domain-range typing, rdfs9 type
+    inheritance) materialized over a 10-deep class chain and a
+    customer-derived ABox.  TBox closures are computed on the DRIVER
+    (ontologies are dictionary-sized) and every rule is ONE broadcast
+    join over the fact stream — no ABox shuffle before the final
+    set-dedup.  The reference performs no entailment; this is the
+    enrichment pass a KG-construction pipeline runs after triple
+    emission."""
+    from rdf_mapper_spark.inference import rdfs_materialize
+
+    quads = _inference_fixture_quads(spark, sf_dir)
+    return rdfs_materialize(quads).select("s", "p", "o")
+
+
+def _oracle_kg_rdfs_inference() -> str:
+    from rdf_mapper_spark.inference import DOMAIN, RANGE, SUBCLASS, SUBPROP
+    tier = f"'{_TIER}' || CAST(i AS VARCHAR)"
+    tier_j = f"'{_TIER}' || CAST(j AS VARCHAR)"
+    return f"""
+WITH tiers AS (SELECT i FROM generate_series(0, 9) t(i)),
+cust AS (SELECT c_custkey AS k, c_nationkey AS n FROM customer),
+rel AS (SELECT * FROM cust WHERE k % 4 = 0)
+-- asserted chain + rdfs11 closure (total order => all i < j pairs)
+SELECT {tier} AS s, '{SUBCLASS}' AS p, {tier_j} AS o
+FROM (SELECT a.i AS i, b.i AS j FROM tiers a, tiers b WHERE b.i > a.i)
+UNION
+SELECT '{_P_SPEC}', '{SUBPROP}', '{_P_GEN}'
+UNION SELECT '{_P_SPEC}', '{DOMAIN}', '{_TIER}0'
+UNION SELECT '{_P_SPEC}', '{RANGE}', '{_TIER}5'
+-- asserted + rdfs9-inherited customer types
+UNION
+SELECT '{_CUST_IRI}' || CAST(k AS VARCHAR), '{RDF_TYPE}',
+       '{_TIER}' || CAST(j.i AS VARCHAR)
+FROM cust, tiers j WHERE j.i >= k % 10
+-- rdfs2: domain types every localPred subject as Tier0..Tier9
+UNION
+SELECT '{_CUST_IRI}' || CAST(k AS VARCHAR), '{RDF_TYPE}',
+       '{_TIER}' || CAST(j.i AS VARCHAR)
+FROM rel, tiers j
+-- rdfs3: range types every localPred object as Tier5..Tier9
+UNION
+SELECT DISTINCT '{_NATION_IRI}' || CAST(n AS VARCHAR), '{RDF_TYPE}',
+       '{_TIER}' || CAST(j.i AS VARCHAR)
+FROM rel, tiers j WHERE j.i >= 5
+-- asserted links + rdfs7 lift to the super-property
+UNION
+SELECT '{_CUST_IRI}' || CAST(k AS VARCHAR), '{_P_SPEC}',
+       '{_NATION_IRI}' || CAST(n AS VARCHAR) FROM rel
+UNION
+SELECT '{_CUST_IRI}' || CAST(k AS VARCHAR), '{_P_GEN}',
+       '{_NATION_IRI}' || CAST(n AS VARCHAR) FROM rel
+"""
+
+
+def q_kg_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs smushing (inference.sameas_resolve): alias chains
+    dup2/k -> dup/k -> cust/k collapse to the lexicographic-min
+    canonical IRI via connected components (hybrid driver union-find /
+    distributed min-label, pipeline/canonicalize.py); subjects AND
+    IRI objects rewrite through the broadcast (node -> canonical)
+    mapping — two map-side passes over the quad stream, literals
+    untouched, link triples dropped."""
+    from rdf_mapper_spark.inference import OWL_SAMEAS, sameas_resolve
+
+    null = F.lit(None).cast("string")
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a_iri = F.concat(F.lit(KGB + "/data/cust/"), k)
+    b_iri = F.concat(F.lit(KGB + "/data/dup/"), k)
+    c_iri = F.concat(F.lit(KGB + "/data/dup2/"), k)
+
+    def quad(s, p, o, ok):
+        return [null.alias("g"), F.lit("iri").alias("sk"), s.alias("s"),
+                F.lit(p).alias("p"), F.lit(ok).alias("ok"), o.alias("o"),
+                null.alias("odt"), null.alias("olg")]
+
+    links = cust.where(k % 3 == 0).select(
+        *quad(b_iri, OWL_SAMEAS, a_iri, "iri"))
+    links2 = cust.where(k % 6 == 0).select(
+        *quad(c_iri, OWL_SAMEAS, b_iri, "iri"))
+    # data triples hang off the most-aliased name for each entity
+    subj = F.when(k % 6 == 0, c_iri).when(k % 3 == 0, b_iri).otherwise(a_iri)
+    names = cust.select(
+        *quad(subj, KGB + "/def/name", F.col("c_name"), "literal"))
+    members = cust.where(k % 3 == 0).select(
+        *quad(F.concat(F.lit(_NATION_IRI), F.col("c_nationkey")),
+              KGB + "/def/member", b_iri, "iri"))
+    quads = links.unionByName(links2).unionByName(names) \
+        .unionByName(members)
+    return sameas_resolve(quads).select("s", "p", "o")
+
+
+def _oracle_kg_sameas() -> str:
+    cust_iri = f"'{KGB}/data/cust/' || CAST(c_custkey AS VARCHAR)"
+    return f"""
+SELECT {cust_iri} AS s, '{KGB}/def/name' AS p, c_name AS o FROM customer
+UNION
+SELECT '{_NATION_IRI}' || CAST(c_nationkey AS VARCHAR),
+       '{KGB}/def/member', {cust_iri}
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL + FILTER in the BGP compiler (query.bgp_query): the
+    required star matches every Document, the OPTIONAL group
+    left-joins a 'flag' property emitted only for n_chars >= 500 docs
+    (unmatched solutions keep NULL bindings), and a FILTER prunes one
+    source — SPARQL's left-join semantics as a Catalyst left join on
+    the shared subject variable."""
+    from rdf_mapper_spark.query import bgp_query
+
+    null = F.lit(None).cast("string")
+    docs = _t(spark, sf_dir, "documents")
+    flag = docs.where(F.col("n_chars") >= 500).select(
+        null.alias("g"), F.lit("iri").alias("sk"),
+        F.concat(F.lit(KGB + "/data/document/"),
+                 F.col("doc_id")).alias("s"),
+        F.lit(KGB + "/def/flag").alias("p"),
+        F.lit("literal").alias("ok"), F.lit("big").alias("o"),
+        null.alias("odt"), null.alias("olg"))
+    quads = q_kg_flagship(spark, sf_dir).unionByName(flag)
+    return bgp_query(
+        quads,
+        [("?d", RDF_TYPE, KGB + "/def/Document"),
+         ("?d", KGB + "/def/source", "?src")],
+        optional_patterns=[[("?d", KGB + "/def/flag", "?f")]],
+        filters=["src <> 'src1'"],
+    ).select("d", "src", "f")
+
+
+def _oracle_kg_bgp_optional() -> str:
+    return f"""
+SELECT DISTINCT {_doc_subject_sql()} AS d, source AS src,
+       CASE WHEN n_chars >= 500 THEN 'big' END AS f
+FROM documents WHERE source <> 'src1'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -2660,6 +2846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "pack_sequences": q_pack_sequences,
         "kg_degrees": q_kg_degrees,
+        "kg_rdfs_inference": q_kg_rdfs_inference,
+        "kg_sameas": q_kg_sameas,
+        "kg_bgp_optional": q_kg_bgp_optional,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "corpus_curation": q_corpus_curation,
@@ -2728,6 +2917,9 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": _oracle_cap_per_source(),
         "pack_sequences": _oracle_pack_sequences(),
         "kg_degrees": _oracle_kg_degrees(),
+        "kg_rdfs_inference": _oracle_kg_rdfs_inference(),
+        "kg_sameas": _oracle_kg_sameas(),
+        "kg_bgp_optional": _oracle_kg_bgp_optional(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
         "corpus_curation": _oracle_corpus_curation(),

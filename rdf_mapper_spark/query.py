@@ -41,7 +41,10 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
               select: list[str] | None = None,
               graph: str | None = None,
               distinct: bool = True,
-              materialize: bool = False) -> DataFrame:
+              materialize: bool = False,
+              optional_patterns: list[list[tuple[str, str, str]]]
+              | None = None,
+              filters: list[str] | None = None) -> DataFrame:
     """Evaluate a conjunction of (s, p, o) triple patterns.
 
     -> one column per variable (name without the '?'), restricted to
@@ -52,6 +55,23 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
     joining across patterns like any other shared variable.  `distinct`
     applies set semantics over the projected bindings (SPARQL SELECT
     DISTINCT); pass False to keep duplicate solutions.
+
+    `optional_patterns` is a list of OPTIONAL groups (SPARQL
+    left-join semantics): each group is itself a pattern list, compiled
+    like a BGP and LEFT-joined onto the required solutions on the
+    shared variables — unmatched solutions keep NULL bindings for the
+    group's variables.  A group must share at least one variable with
+    the required patterns (a var-disjoint OPTIONAL is a cross product
+    of little practical meaning; rejected).  The left join broadcasts
+    whichever side Catalyst sizes smaller; set semantics still apply
+    at the end.
+
+    `filters` are SPARQL FILTER expressions as Spark SQL boolean
+    strings over the bound variable columns (e.g. ``"src <> 'a'"`` or
+    ``"CAST(n AS INT) > 10"``), applied after required AND optional
+    joins (group scope), before projection.  Pure Column predicates —
+    they ride inside whole-stage codegen and push down into the scans
+    where Catalyst can prove it.
 
     `materialize` localCheckpoints the quad input first.  Use it when
     `quads` is an EXPENSIVE computed plan that pattern filters cannot
@@ -92,17 +112,43 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
                 df = df.where(F.col(pos) == term)
         return df.select(*cols)
 
-    # most-constrained-first: fewer variables = more selective filters
-    ordered = sorted(patterns,
-                     key=lambda p: sum(1 for t in p if _is_var(t)))
-    out = compile_pattern(ordered[0])
-    for pat in ordered[1:]:
-        nxt = compile_pattern(pat)
-        shared = [c for c in nxt.columns if c in out.columns]
-        out = out.join(nxt, shared) if shared else out.crossJoin(nxt)
+    def join_group(pats: list[tuple[str, str, str]]) -> DataFrame:
+        # most-constrained-first: fewer variables = more selective
+        ordered = sorted(pats,
+                         key=lambda p: sum(1 for t in p if _is_var(t)))
+        grp = compile_pattern(ordered[0])
+        for pat in ordered[1:]:
+            nxt = compile_pattern(pat)
+            shared = [c for c in nxt.columns if c in grp.columns]
+            grp = grp.join(nxt, shared) if shared else grp.crossJoin(nxt)
+        return grp
+
+    out = join_group(patterns)
+    for group in (optional_patterns or []):
+        sub = join_group(group)
+        shared = [c for c in sub.columns if c in out.columns]
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                f"patterns: {group}")
+        out = out.join(sub, shared, "left")
+    for cond in (filters or []):
+        out = out.where(F.expr(cond))
     if select:
         out = out.select(*[v.lstrip("?") for v in select])
     return out.distinct() if distinct else out
+
+
+def bgp_union(*solutions: DataFrame) -> DataFrame:
+    """SPARQL UNION over solution sets: columns align by variable name,
+    variables absent from one branch bind NULL (allowMissingColumns),
+    set semantics over the combined bindings."""
+    if not solutions:
+        raise ValueError("empty UNION")
+    out = solutions[0]
+    for nxt in solutions[1:]:
+        out = out.unionByName(nxt, allowMissingColumns=True)
+    return out.distinct()
 
 
 def path_query(quads: DataFrame, pred: str, max_hops: int,

@@ -230,3 +230,81 @@ def test_bgp_graph_variable(spark):
             bgp_query(q, [("?s", "p", "?o"), ("?s", "q", "?v")],
                       graph="?g").collect()}
     assert both == {("http://g/1", "s1")}
+
+
+def test_bgp_optional_left_join(spark):
+    q = _quads(spark, [
+        ("d1", "type", "Doc"), ("d1", "flag", "big"),
+        ("d2", "type", "Doc"),
+        ("d3", "type", "Img"), ("d3", "flag", "big"),
+    ])
+    out = {(r.d, r.f) for r in
+           bgp_query(q, [("?d", "type", "Doc")],
+                     optional_patterns=[[("?d", "flag", "?f")]]).collect()}
+    assert out == {("d1", "big"), ("d2", None)}
+
+
+def test_bgp_optional_multi_pattern_group(spark):
+    # the whole group matches or binds null as a unit (SPARQL semantics)
+    q = _quads(spark, [
+        ("d1", "type", "Doc"), ("d1", "a", "1"), ("d1", "b", "2"),
+        ("d2", "type", "Doc"), ("d2", "a", "1"),   # b missing: group fails
+    ])
+    out = {(r.d, r.x, r.y) for r in
+           bgp_query(q, [("?d", "type", "Doc")],
+                     optional_patterns=[[("?d", "a", "?x"),
+                                        ("?d", "b", "?y")]]).collect()}
+    assert out == {("d1", "1", "2"), ("d2", None, None)}
+
+
+def test_bgp_optional_disjoint_rejected(spark):
+    q = _quads(spark, [("d1", "type", "Doc")])
+    with pytest.raises(ValueError):
+        bgp_query(q, [("?d", "type", "Doc")],
+                  optional_patterns=[[("?z", "other", "?w")]])
+
+
+def test_bgp_filters(spark):
+    q = _quads(spark, [
+        ("d1", "n", "5"), ("d2", "n", "15"), ("d3", "n", "25"),
+    ])
+    out = {r.d for r in
+           bgp_query(q, [("?d", "n", "?n")],
+                     filters=["CAST(n AS INT) > 10", "d <> 'd3'"])
+           .collect()}
+    assert out == {"d2"}
+
+
+def test_bgp_filter_on_optional_binding(spark):
+    # FILTER over an OPTIONAL var: NULL binding -> condition NULL -> row
+    # dropped (SPARQL error semantics for the bare comparison)
+    q = _quads(spark, [
+        ("d1", "type", "Doc"), ("d1", "flag", "big"),
+        ("d2", "type", "Doc"),
+    ])
+    out = {r.d for r in
+           bgp_query(q, [("?d", "type", "Doc")],
+                     optional_patterns=[[("?d", "flag", "?f")]],
+                     filters=["f = 'big'"]).collect()}
+    assert out == {"d1"}
+    # COALESCE-guarded filter keeps the unbound row (SPARQL BOUND idiom)
+    kept = {r.d for r in
+            bgp_query(q, [("?d", "type", "Doc")],
+                      optional_patterns=[[("?d", "flag", "?f")]],
+                      filters=["f IS NULL OR f = 'big'"]).collect()}
+    assert kept == {"d1", "d2"}
+
+
+def test_bgp_union(spark):
+    from rdf_mapper_spark.query import bgp_union
+    q = _quads(spark, [
+        ("d1", "title", "t1"), ("d2", "label", "t2"), ("d3", "title", "t1"),
+    ])
+    a = bgp_query(q, [("?d", "title", "?name")])
+    b = bgp_query(q, [("?d", "label", "?name"), ("?d", "extra", "?e")])
+    out = {(r.d, r.name, r.e) for r in bgp_union(a, b).collect()}
+    # branch b is empty (no 'extra' triples); branch a fills e with NULL
+    assert out == {("d1", "t1", None), ("d3", "t1", None)}
+    c = bgp_query(q, [("?d", "label", "?name")])
+    out2 = {(r.d, r.name) for r in bgp_union(a, c).collect()}
+    assert out2 == {("d1", "t1"), ("d3", "t1"), ("d2", "t2")}
