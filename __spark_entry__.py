@@ -2603,6 +2603,52 @@ GROUP BY 1
 """
 
 
+_SEM_CELLS = 8
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ops/dedup.semantic_dedup): frozen
+    coarse-quantizer cells (same argmax-dot codebook as the IVF index),
+    exact cosine WITHIN cells only, pairs clustered to components, min
+    id survives.  Candidate volume sum(cell^2)/2 instead of n^2/2; the
+    self-join shuffles on the cell id only."""
+    from rdf_mapper_spark.ops.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=_EMB_THRESHOLD,
+                          n_cells=_SEM_CELLS, seed=7, dim=_EMB_DIM)
+
+
+def _oracle_semantic_dedup() -> str:
+    from rdf_mapper_spark.ops.similarity import centroids
+
+    cells = centroids(_EMB_DIM, _SEM_CELLS, 7)
+    dots = ("[" + ", ".join(
+        "list_inner_product(v, [" + ", ".join(repr(x) for x in c) + "])"
+        for c in cells
+    ) + "]")
+    cos = ("list_inner_product(a.v, b.v) / "
+           "(sqrt(list_inner_product(a.v, a.v)) * "
+           "sqrt(list_inner_product(b.v, b.v)))")
+    return f"""
+WITH RECURSIVE t AS (SELECT vec_id id, embedding::DOUBLE[] v
+                     FROM embeddings),
+d AS (SELECT id, v, {dots} dots FROM t),
+e AS (SELECT id, v, list_position(dots, list_max(dots)) cell FROM d),
+pairs AS (SELECT a.id id_a, b.id id_b FROM e a JOIN e b ON a.cell = b.cell
+          WHERE a.id < b.id AND ROUND({cos}, 4) >= {_EMB_THRESHOLD}),
+edges AS (SELECT id_a src, id_b dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT id, id FROM t
+  UNION
+  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON reach.id = e2.dst
+)
+SELECT id AS vec_id, MIN(r) AS canonical_id, MIN(r) = id AS keep
+FROM reach GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Inference layer: RDFS materialization + owl:sameAs smushing
 # ---------------------------------------------------------------------------
@@ -2846,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "pack_sequences": q_pack_sequences,
         "kg_degrees": q_kg_degrees,
+        "semantic_dedup": q_semantic_dedup,
         "kg_rdfs_inference": q_kg_rdfs_inference,
         "kg_sameas": q_kg_sameas,
         "kg_bgp_optional": q_kg_bgp_optional,
@@ -2917,6 +2964,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": _oracle_cap_per_source(),
         "pack_sequences": _oracle_pack_sequences(),
         "kg_degrees": _oracle_kg_degrees(),
+        "semantic_dedup": _oracle_semantic_dedup(),
         "kg_rdfs_inference": _oracle_kg_rdfs_inference(),
         "kg_sameas": _oracle_kg_sameas(),
         "kg_bgp_optional": _oracle_kg_bgp_optional(),

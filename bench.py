@@ -158,6 +158,8 @@ def main() -> None:
         "pack_sequences", "kg_bgp_star", "kg_path_cites", "session_stats",
         "kg_entity_table", "kg_predicate_stats", "kg_shape_violations",
         "events_asof", "kg_bgp_stored",
+        # round 5b: inference layer + OPTIONAL/FILTER read path
+        "kg_rdfs_inference", "kg_sameas", "kg_bgp_optional",
     ]
     queries = entry_mod.queries()
 

@@ -696,3 +696,77 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
                 lambda s: s["para"]),
             sep).alias(text_col))
     )
+
+
+def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                         cells: list[list[float]] | None = None,
+                         n_cells: int = 16, seed: int = 7,
+                         dim: int | None = None,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         max_cell: int | None = None) -> DataFrame:
+    """SemDeDup-style candidate pairs: cluster embeddings with a frozen
+    coarse codebook, exact cosine WITHIN each cell only.
+
+    (Abbas et al., "SemDeDup", 2023 — public.)  The cluster assignment
+    is the same argmax-dot coarse quantizer the IVF index uses
+    (similarity.ivf_cell_expr), so a trained `train_centroids` codebook
+    drops in unchanged.  Cosine never crosses cells — candidate volume
+    is sum(cell_size^2)/2 instead of n^2/2, and the self-join shuffles
+    on the cell id only.  Cross-cell near-dups are the recall trade the
+    paper makes; tune n_cells down for recall, up for cost.
+
+    `max_cell` is the skew kill-switch (the degenerate-codebook case
+    where one cell swallows the corpus): cells above the cap are
+    EXCLUDED from pairing — bounded work, explicitly lost recall, same
+    policy as winnowing's max_df.
+    """
+    from rdf_mapper_spark.ops.similarity import (
+        centroids,
+        cosine_expr,
+        ivf_cell_expr,
+    )
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if cells is None:
+        cells = centroids(dim, n_cells, seed)
+    celled = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        ivf_cell_expr(F.col(vec_col), cells).alias("cell"),
+    )
+    if max_cell is not None:
+        ok = (celled.groupBy("cell").count()
+              .where(F.col("count") <= max_cell).select("cell"))
+        celled = celled.join(F.broadcast(ok), "cell")
+    a = celled.select(F.col("id").alias("id_a"),
+                      F.col("v").alias("v_a"), "cell")
+    b = celled.select(F.col("id").alias("id_b"),
+                      F.col("v").alias("v_b"), "cell")
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
+                   cells: list[list[float]] | None = None,
+                   n_cells: int = 16, seed: int = 7,
+                   dim: int | None = None,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   max_cell: int | None = None) -> DataFrame:
+    """SemDeDup action: -> (id, canonical_id, keep) — cell-local cosine
+    pairs clustered into components (transitive near-dup effect), the
+    MINIMUM id survives each component.  Composition of
+    `semantic_dedup_pairs` and `dedup_clusters`; share-nothing across
+    cells, deterministic across re-runs."""
+    pairs = semantic_dedup_pairs(
+        embeddings, threshold=threshold, cells=cells, n_cells=n_cells,
+        seed=seed, dim=dim, vec_col=vec_col, id_col=id_col,
+        max_cell=max_cell)
+    ids = embeddings.select(F.col(id_col))
+    return dedup_clusters(ids, pairs, id_col=id_col)
