@@ -2603,6 +2603,44 @@ GROUP BY 1
 """
 
 
+def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (query.construct): graph-to-graph rewriting —
+    match the en-document star, emit a derived membership graph
+    (partOf/hasMember/sourceLabel) in quad schema, ready for sinks and
+    the quad store.  One BGP join + a union of template projections;
+    no Python, no interpreter."""
+    from rdf_mapper_spark.query import construct
+
+    quads = q_kg_flagship(spark, sf_dir)
+    corpus = KGB + "/data/corpus/en"
+    return construct(
+        quads,
+        [("?d", RDF_TYPE, KGB + "/def/Document"),
+         ("?d", DCT + "language", "en"),
+         ("?d", KGB + "/def/source", "?src")],
+        [("?d", KGB + "/def/partOf", corpus),
+         (corpus, KGB + "/def/hasMember", "?d"),
+         ("?d", KGB + "/def/sourceLabel", "?src")],
+    )
+
+
+def _oracle_kg_construct() -> str:
+    s = _doc_subject_sql()
+    corpus = KGB + "/data/corpus/en"
+    null = "CAST(NULL AS VARCHAR)"
+    return f"""
+WITH en AS (SELECT {s} AS d, source FROM documents WHERE lang = 'en')
+SELECT {null} g, 'iri' sk, d s, '{KGB}/def/partOf' p, 'iri' ok,
+       '{corpus}' o, {null} odt, {null} olg FROM en
+UNION
+SELECT {null}, 'iri', '{corpus}', '{KGB}/def/hasMember', 'iri', d,
+       {null}, {null} FROM en
+UNION
+SELECT {null}, 'iri', d, '{KGB}/def/sourceLabel', 'literal', source,
+       {null}, {null} FROM en
+"""
+
+
 _SEM_CELLS = 8
 
 
@@ -2892,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "pack_sequences": q_pack_sequences,
         "kg_degrees": q_kg_degrees,
+        "kg_construct": q_kg_construct,
         "semantic_dedup": q_semantic_dedup,
         "kg_rdfs_inference": q_kg_rdfs_inference,
         "kg_sameas": q_kg_sameas,
@@ -2964,6 +3003,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": _oracle_cap_per_source(),
         "pack_sequences": _oracle_pack_sequences(),
         "kg_degrees": _oracle_kg_degrees(),
+        "kg_construct": _oracle_kg_construct(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "kg_rdfs_inference": _oracle_kg_rdfs_inference(),
         "kg_sameas": _oracle_kg_sameas(),

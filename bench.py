@@ -159,7 +159,8 @@ def main() -> None:
         "kg_entity_table", "kg_predicate_stats", "kg_shape_violations",
         "events_asof", "kg_bgp_stored",
         # round 5b: inference layer + OPTIONAL/FILTER read path
-        "kg_rdfs_inference", "kg_sameas", "kg_bgp_optional",
+        "kg_rdfs_inference", "kg_sameas", "kg_bgp_optional", "kg_construct",
+        "semantic_dedup",
     ]
     queries = entry_mod.queries()
 

@@ -139,6 +139,79 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
     return out.distinct() if distinct else out
 
 
+def bgp_minus(solutions: DataFrame, removed: DataFrame) -> DataFrame:
+    """SPARQL MINUS: drop solutions that are COMPATIBLE with some
+    solution in `removed` on their shared variables.  One left-anti
+    join on the shared columns; with no shared variables nothing is
+    removed (the SPARQL definition — disjoint domains never conflict).
+    NULL-safe equality mirrors solution compatibility for bindings both
+    sides left unbound."""
+    shared = [c for c in removed.columns if c in solutions.columns]
+    if not shared:
+        return solutions
+    cond = None
+    for c in shared:
+        eq = solutions[c].eqNullSafe(removed[c])
+        cond = eq if cond is None else (cond & eq)
+    return solutions.join(removed.select(*shared).distinct(), cond,
+                          "left_anti")
+
+
+def construct(quads: DataFrame, patterns: list[tuple[str, str, str]],
+              templates: list[tuple[str, str, str]],
+              graph: str | None = None,
+              optional_patterns: list[list[tuple[str, str, str]]]
+              | None = None,
+              filters: list[str] | None = None) -> DataFrame:
+    """SPARQL CONSTRUCT: evaluate a BGP, instantiate template triples
+    from each solution — graph-to-graph transformation as ONE
+    declarative plan (match joins + a union of per-template
+    projections, exactly the shape the mapping engine emits, so sinks
+    and the quad store consume the result unchanged).
+
+    Template terms are `?var` references or constants.  BGP solutions
+    carry lexical values only (term kinds don't survive the projection),
+    so the object kind is re-derived: constants containing ':' and
+    variable bindings shaped like absolute http(s)/urn IRIs emit as
+    `iri`, everything else as plain `literal` (datatype/lang tags of
+    matched objects are not carried through — CONSTRUCT here is a
+    restructuring tool, not a round-tripper; route through the engine
+    for typed emission).  Solutions with an UNBOUND template variable
+    (OPTIONAL) skip that template triple, matching the spec.  Output
+    lands in the default graph.
+    """
+    sols = bgp_query(quads, patterns, graph=graph,
+                     optional_patterns=optional_patterns,
+                     filters=filters, distinct=True)
+    null = F.lit(None).cast("string")
+
+    def term(t: str, kind_if_const: str):
+        if _is_var(t):
+            return F.col(t[1:]), None
+        return F.lit(t), kind_if_const
+
+    out = None
+    for s_t, p_t, o_t in templates:
+        s_col, _ = term(s_t, "iri")
+        p_col, _ = term(p_t, "iri")
+        o_col, _ = term(o_t, None)
+        if _is_var(o_t):
+            ok = F.when(o_col.rlike("^(https?|urn):"), "iri") \
+                .otherwise("literal")
+        else:
+            ok = F.lit("iri" if ":" in o_t else "literal")
+        tri = sols.select(
+            null.alias("g"), F.lit("iri").alias("sk"), s_col.alias("s"),
+            p_col.alias("p"), ok.alias("ok"), o_col.alias("o"),
+            null.alias("odt"), null.alias("olg"),
+        ).where(F.col("s").isNotNull() & F.col("p").isNotNull()
+                & F.col("o").isNotNull())
+        out = tri if out is None else out.unionByName(tri)
+    if out is None:
+        raise ValueError("empty CONSTRUCT template")
+    return out.distinct()
+
+
 def bgp_union(*solutions: DataFrame) -> DataFrame:
     """SPARQL UNION over solution sets: columns align by variable name,
     variables absent from one branch bind NULL (allowMissingColumns),

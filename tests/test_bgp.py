@@ -308,3 +308,53 @@ def test_bgp_union(spark):
     c = bgp_query(q, [("?d", "label", "?name")])
     out2 = {(r.d, r.name) for r in bgp_union(a, c).collect()}
     assert out2 == {("d1", "t1"), ("d3", "t1"), ("d2", "t2")}
+
+
+def test_bgp_minus(spark):
+    from rdf_mapper_spark.query import bgp_minus
+    q = _quads(spark, [
+        ("d1", "type", "Doc"), ("d2", "type", "Doc"), ("d3", "type", "Doc"),
+        ("d2", "banned", "yes"),
+    ])
+    keep = bgp_minus(bgp_query(q, [("?d", "type", "Doc")]),
+                     bgp_query(q, [("?d", "banned", "yes")]))
+    assert {r.d for r in keep.collect()} == {"d1", "d3"}
+    # no shared vars: nothing removed (SPARQL MINUS definition)
+    untouched = bgp_minus(bgp_query(q, [("?d", "type", "Doc")]),
+                          bgp_query(q, [("?x", "banned", "yes")]))
+    assert untouched.count() == 3
+
+
+def test_construct_rewrite(spark):
+    from rdf_mapper_spark.query import construct
+    q = _quads(spark, [
+        ("d1", "type", "Doc"), ("d1", "src", "a"),
+        ("d2", "type", "Doc"),
+    ])
+    out = construct(
+        q,
+        [("?d", "type", "Doc")],
+        [("?d", "ex:kind", "ex:Page"),          # constant IRI object
+         ("?d", "ex:origin", "?s")],            # var object (optional-fed)
+        optional_patterns=[[("?d", "src", "?s")]],
+    )
+    rows = {(r.s, r.p, r.o, r.ok) for r in out.collect()}
+    # unbound ?s for d2 skips the origin triple, not the kind triple
+    assert rows == {
+        ("d1", "ex:kind", "ex:Page", "iri"),
+        ("d2", "ex:kind", "ex:Page", "iri"),
+        ("d1", "ex:origin", "a", "literal"),
+    }
+    # output is quad-schema: feeds sinks / stores unchanged
+    assert out.columns == ["g", "sk", "s", "p", "ok", "o", "odt", "olg"]
+
+
+def test_construct_iri_shaped_variable_object(spark):
+    from rdf_mapper_spark.query import construct
+    q = _quads(spark, [("http://x/d1", "ref", "http://x/d2")])
+    # object position holds an IRI string: re-detected as iri kind
+    qq = q.withColumn("ok", F.lit("iri"))
+    out = construct(qq, [("?a", "ref", "?b")],
+                    [("?b", "ex:refBy", "?a")]).collect()
+    assert [(r.s, r.o, r.ok) for r in out] == \
+        [("http://x/d2", "http://x/d1", "iri")]
