@@ -2603,6 +2603,38 @@ GROUP BY 1
 """
 
 
+def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (query.describe): the full quad neighborhood of
+    a BGP-selected subject set (en docs from source src2) — two equi
+    semi-joins (subject + inbound IRI object) unioned, never an
+    OR-condition nested loop."""
+    from rdf_mapper_spark.query import bgp_query, describe
+
+    quads = q_kg_flagship(spark, sf_dir)
+    subs = bgp_query(quads, [
+        ("?d", DCT + "language", "en"),
+        ("?d", KGB + "/def/source", "src2"),
+    ]).select("d")
+    return describe(quads, subs)
+
+
+def _oracle_kg_describe() -> str:
+    s = _doc_subject_sql()
+    null = "CAST(NULL AS VARCHAR)"
+    return f"""
+WITH base AS (SELECT {s} AS s, lang, source, n_chars FROM documents
+              WHERE lang = 'en' AND source = 'src2')
+SELECT {null} g, 'iri' sk, s, '{RDF_TYPE}' p,
+       'iri' ok, '{KGB}/def/Document' o, {null} odt, {null} olg FROM base
+UNION ALL SELECT {null}, 'iri', s, '{DCT}language', 'literal', lang,
+       {null}, {null} FROM base
+UNION ALL SELECT {null}, 'iri', s, '{KGB}/def/source', 'literal', source,
+       {null}, {null} FROM base
+UNION ALL SELECT {null}, 'iri', s, '{KGB}/def/chars', 'literal',
+       CAST(n_chars AS VARCHAR), '{XSD}integer', {null} FROM base
+"""
+
+
 def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT (query.construct): graph-to-graph rewriting —
     match the en-document star, emit a derived membership graph
@@ -2931,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "kg_degrees": q_kg_degrees,
         "kg_construct": q_kg_construct,
+        "kg_describe": q_kg_describe,
         "semantic_dedup": q_semantic_dedup,
         "kg_rdfs_inference": q_kg_rdfs_inference,
         "kg_sameas": q_kg_sameas,
@@ -3004,6 +3037,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "kg_degrees": _oracle_kg_degrees(),
         "kg_construct": _oracle_kg_construct(),
+        "kg_describe": _oracle_kg_describe(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "kg_rdfs_inference": _oracle_kg_rdfs_inference(),
         "kg_sameas": _oracle_kg_sameas(),

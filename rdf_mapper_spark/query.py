@@ -139,6 +139,44 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
     return out.distinct() if distinct else out
 
 
+def ask(quads: DataFrame, patterns: list[tuple[str, str, str]],
+        graph: str | None = None,
+        filters: list[str] | None = None) -> bool:
+    """SPARQL ASK: does at least one solution exist?  Evaluates the BGP
+    with `distinct=False` (dedup is wasted work for existence) under a
+    LIMIT-1 collect, so Spark stops at the first produced row instead
+    of materializing the solution set."""
+    sols = bgp_query(quads, patterns, graph=graph, filters=filters,
+                     distinct=False)
+    return len(sols.take(1)) > 0
+
+
+def describe(quads: DataFrame, subjects: DataFrame | list[str],
+             graph: str | None = None) -> DataFrame:
+    """SPARQL DESCRIBE (concise-bounded-ish): every quad whose subject
+    OR object is one of the requested IRIs.  A list broadcasts as an
+    IN filter into the scan; a DataFrame (one `iri` column — e.g. a
+    `bgp_query(...).select('d')` result) joins, broadcast when small
+    enough for Catalyst/AQE to prove it."""
+    if isinstance(subjects, list):
+        m = F.col("s").isin(subjects) | \
+            (F.col("o").isin(subjects) & (F.col("ok") == "iri"))
+        out = quads.where(m)
+    else:
+        iris = subjects.select(
+            F.col(subjects.columns[0]).alias("__iri")).distinct()
+        # two EQUI semi-joins unioned, not one OR-condition join — a
+        # disjunctive join condition can't hash-partition and degrades
+        # to a nested loop; these stay broadcast/shuffle-hash joins
+        on_s = quads.join(iris, quads["s"] == iris["__iri"], "left_semi")
+        on_o = quads.where(F.col("ok") == "iri").join(
+            iris, quads["o"] == iris["__iri"], "left_semi")
+        out = on_s.unionByName(on_o).distinct()
+    if graph is not None:
+        out = out.where(F.col("g") == graph)
+    return out
+
+
 def bgp_minus(solutions: DataFrame, removed: DataFrame) -> DataFrame:
     """SPARQL MINUS: drop solutions that are COMPATIBLE with some
     solution in `removed` on their shared variables.  One left-anti

@@ -358,3 +358,33 @@ def test_construct_iri_shaped_variable_object(spark):
                     [("?b", "ex:refBy", "?a")]).collect()
     assert [(r.s, r.o, r.ok) for r in out] == \
         [("http://x/d2", "http://x/d1", "iri")]
+
+
+def test_ask(spark):
+    from rdf_mapper_spark.query import ask
+    q = _quads(spark, [("d1", "type", "Doc")])
+    assert ask(q, [("?d", "type", "Doc")]) is True
+    assert ask(q, [("?d", "type", "Nope")]) is False
+    assert ask(q, [("?d", "type", "Doc")],
+               filters=["d = 'd2'"]) is False
+
+
+def test_describe_list_and_df(spark):
+    from rdf_mapper_spark.query import describe
+    rows = [
+        (None, "iri", "d1", "type", "iri", "Doc", None, None),
+        (None, "iri", "d1", "src", "literal", "a", None, None),
+        (None, "iri", "x", "ref", "iri", "d1", None, None),   # inbound
+        (None, "iri", "x", "lbl", "literal", "d1", None, None),  # literal
+        (None, "iri", "d2", "type", "iri", "Doc", None, None),
+    ]
+    q = spark.createDataFrame(rows, QUAD_SCHEMA)
+    got = {(r.s, r.p, r.o) for r in describe(q, ["d1"]).collect()}
+    # subject quads + inbound IRI references; literal 'd1' excluded
+    assert got == {("d1", "type", "Doc"), ("d1", "src", "a"),
+                   ("x", "ref", "d1")}
+    subs = spark.createDataFrame([("d1",)], "iri string")
+    got_df = {(r.s, r.p, r.o) for r in describe(q, subs).collect()}
+    assert got_df == got
+    plan = describe(q, subs)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
