@@ -120,7 +120,8 @@ def _pairs_df(spark, pairs: list[tuple[str, str]], a: str, b: str):
 
 
 def rdfs_materialize(quads: DataFrame, include_asserted: bool = True,
-                     tbox_threshold: int = 100_000) -> DataFrame:
+                     tbox_threshold: int = 100_000,
+                     materialize: bool = False) -> DataFrame:
     """Forward-chain rho-df RDFS entailment into explicit quads.
 
     Rules (each ONE broadcast join over the ABox, no fixpoint loop —
@@ -140,8 +141,15 @@ def rdfs_materialize(quads: DataFrame, include_asserted: bool = True,
     the union-default-graph reading.
 
     Returns asserted + inferred (or inferred only), set semantics.
+
+    `materialize` localCheckpoints the quad input first: every rule
+    branch re-scans the input lineage, so a COMPUTED quad plan (engine
+    output, unions) pays ~6x its cost without it.  Stored quad tables
+    don't need it — re-scanning parquet is cheap and prunable.
     """
     spark = quads.sparkSession
+    if materialize:
+        quads = quads.localCheckpoint(eager=True)
     tbox = extract_tbox(quads, tbox_threshold)
     sp_pairs = _driver_closure(tbox[SUBPROP])
     sc_pairs = _driver_closure(tbox[SUBCLASS])

@@ -152,26 +152,38 @@ def ask(quads: DataFrame, patterns: list[tuple[str, str, str]],
 
 
 def describe(quads: DataFrame, subjects: DataFrame | list[str],
-             graph: str | None = None) -> DataFrame:
+             graph: str | None = None,
+             collect_threshold: int = 10_000) -> DataFrame:
     """SPARQL DESCRIBE (concise-bounded-ish): every quad whose subject
-    OR object is one of the requested IRIs.  A list broadcasts as an
-    IN filter into the scan; a DataFrame (one `iri` column — e.g. a
-    `bgp_query(...).select('d')` result) joins, broadcast when small
-    enough for Catalyst/AQE to prove it."""
-    if isinstance(subjects, list):
-        m = F.col("s").isin(subjects) | \
-            (F.col("o").isin(subjects) & (F.col("ok") == "iri"))
-        out = quads.where(m)
-    else:
+    OR object is one of the requested IRIs.
+
+    DESCRIBE subject sets are query-sized by nature, so a DataFrame
+    input (one `iri` column — e.g. a `bgp_query(...).select('d')`
+    result) is COLLECTED when it fits `collect_threshold` and pushed as
+    an IN filter — ONE pass over the quad stream with a scan-prunable
+    predicate (measured 35 s -> ~9 s over the computed engine plan at
+    sf0.1, because the semi-join formulation scans the quad lineage
+    twice).  Oversized sets fall back to two EQUI semi-joins unioned —
+    never one OR-condition join, which can't hash-partition and
+    degrades to a nested loop."""
+    if not isinstance(subjects, list):
         iris = subjects.select(
             F.col(subjects.columns[0]).alias("__iri")).distinct()
-        # two EQUI semi-joins unioned, not one OR-condition join — a
-        # disjunctive join condition can't hash-partition and degrades
-        # to a nested loop; these stay broadcast/shuffle-hash joins
-        on_s = quads.join(iris, quads["s"] == iris["__iri"], "left_semi")
-        on_o = quads.where(F.col("ok") == "iri").join(
-            iris, quads["o"] == iris["__iri"], "left_semi")
-        out = on_s.unionByName(on_o).distinct()
+        sample = iris.limit(collect_threshold + 1).collect()
+        if len(sample) <= collect_threshold:
+            subjects = [r[0] for r in sample]
+        else:
+            on_s = quads.join(iris, quads["s"] == iris["__iri"],
+                              "left_semi")
+            on_o = quads.where(F.col("ok") == "iri").join(
+                iris, quads["o"] == iris["__iri"], "left_semi")
+            out = on_s.unionByName(on_o).distinct()
+            if graph is not None:
+                out = out.where(F.col("g") == graph)
+            return out
+    m = F.col("s").isin(subjects) | \
+        (F.col("o").isin(subjects) & (F.col("ok") == "iri"))
+    out = quads.where(m)
     if graph is not None:
         out = out.where(F.col("g") == graph)
     return out
@@ -218,36 +230,41 @@ def construct(quads: DataFrame, patterns: list[tuple[str, str, str]],
     (OPTIONAL) skip that template triple, matching the spec.  Output
     lands in the default graph.
     """
+    if not templates:
+        raise ValueError("empty CONSTRUCT template")
     sols = bgp_query(quads, patterns, graph=graph,
                      optional_patterns=optional_patterns,
                      filters=filters, distinct=True)
     null = F.lit(None).cast("string")
 
-    def term(t: str, kind_if_const: str):
-        if _is_var(t):
-            return F.col(t[1:]), None
-        return F.lit(t), kind_if_const
+    def term(t: str):
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
 
-    out = None
+    # ONE pass over the solutions: each solution row emits an array of
+    # template quads, exploded — NOT a union of per-template projections,
+    # which would re-run the whole match join once per template
+    # (measured 28 s -> 3 s for a 3-template CONSTRUCT over the 1.8M-quad
+    # engine output at sf0.1).
+    structs = []
     for s_t, p_t, o_t in templates:
-        s_col, _ = term(s_t, "iri")
-        p_col, _ = term(p_t, "iri")
-        o_col, _ = term(o_t, None)
+        o_col = term(o_t)
         if _is_var(o_t):
             ok = F.when(o_col.rlike("^(https?|urn):"), "iri") \
                 .otherwise("literal")
         else:
             ok = F.lit("iri" if ":" in o_t else "literal")
-        tri = sols.select(
-            null.alias("g"), F.lit("iri").alias("sk"), s_col.alias("s"),
-            p_col.alias("p"), ok.alias("ok"), o_col.alias("o"),
-            null.alias("odt"), null.alias("olg"),
-        ).where(F.col("s").isNotNull() & F.col("p").isNotNull()
-                & F.col("o").isNotNull())
-        out = tri if out is None else out.unionByName(tri)
-    if out is None:
-        raise ValueError("empty CONSTRUCT template")
-    return out.distinct()
+        structs.append(F.struct(
+            null.alias("g"), F.lit("iri").alias("sk"),
+            term(s_t).alias("s"), term(p_t).alias("p"), ok.alias("ok"),
+            o_col.alias("o"), null.alias("odt"), null.alias("olg"),
+        ))
+    return (
+        sols.select(F.explode(F.array(*structs)).alias("q")).select("q.*")
+        # unbound OPTIONAL vars: skip that template triple per spec
+        .where(F.col("s").isNotNull() & F.col("p").isNotNull()
+               & F.col("o").isNotNull())
+        .distinct()
+    )
 
 
 def bgp_union(*solutions: DataFrame) -> DataFrame:
