@@ -2603,6 +2603,42 @@ GROUP BY 1
 """
 
 
+def q_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SPARQL DELETE/INSERT WHERE (query.update_where): one
+    localCheckpointed WHERE match feeds both branches; DELETE is a
+    null-safe (g,s,p,o) anti-join, INSERT a union — the post-update
+    store of the flagship graph with fr documents' chars redacted."""
+    from rdf_mapper_spark.query import update_where
+
+    quads = q_kg_flagship(spark, sf_dir)
+    return update_where(
+        quads,
+        [("?d", DCT + "language", "fr"),
+         ("?d", KGB + "/def/chars", "?c")],
+        delete_templates=[("?d", KGB + "/def/chars", "?c")],
+        insert_templates=[("?d", KGB + "/def/redacted", "true")],
+    )
+
+
+def _oracle_kg_update() -> str:
+    s = _doc_subject_sql()
+    null = "CAST(NULL AS VARCHAR)"
+    return f"""
+WITH base AS (SELECT {s} AS s, lang, source, n_chars FROM documents)
+SELECT {null} g, 'iri' sk, s, '{RDF_TYPE}' p,
+       'iri' ok, '{KGB}/def/Document' o, {null} odt, {null} olg FROM base
+UNION ALL SELECT {null}, 'iri', s, '{DCT}language', 'literal', lang,
+       {null}, {null} FROM base
+UNION ALL SELECT {null}, 'iri', s, '{KGB}/def/source', 'literal', source,
+       {null}, {null} FROM base
+UNION ALL SELECT {null}, 'iri', s, '{KGB}/def/chars', 'literal',
+       CAST(n_chars AS VARCHAR), '{XSD}integer', {null} FROM base
+       WHERE lang <> 'fr'
+UNION ALL SELECT {null}, 'iri', s, '{KGB}/def/redacted', 'literal',
+       'true', {null}, {null} FROM base WHERE lang = 'fr'
+"""
+
+
 def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL DESCRIBE (query.describe): the full quad neighborhood of
     a BGP-selected subject set (en docs from source src2) — two equi
@@ -2967,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,
         "kg_construct": q_kg_construct,
         "kg_describe": q_kg_describe,
+        "kg_update": q_kg_update,
         "semantic_dedup": q_semantic_dedup,
         "kg_rdfs_inference": q_kg_rdfs_inference,
         "kg_sameas": q_kg_sameas,
@@ -3041,6 +3078,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": _oracle_kg_degrees(),
         "kg_construct": _oracle_kg_construct(),
         "kg_describe": _oracle_kg_describe(),
+        "kg_update": _oracle_kg_update(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "kg_rdfs_inference": _oracle_kg_rdfs_inference(),
         "kg_sameas": _oracle_kg_sameas(),

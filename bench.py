@@ -160,7 +160,7 @@ def main() -> None:
         "events_asof", "kg_bgp_stored",
         # round 5b: inference layer + OPTIONAL/FILTER read path
         "kg_rdfs_inference", "kg_sameas", "kg_bgp_optional", "kg_construct",
-        "semantic_dedup",
+        "semantic_dedup", "kg_update",
     ]
     queries = entry_mod.queries()
 

@@ -388,3 +388,49 @@ def test_describe_list_and_df(spark):
     assert got_df == got
     plan = describe(q, subs)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_update_where_delete_insert(spark):
+    from rdf_mapper_spark.query import update_where
+    rows = [
+        (None, "iri", "d1", "lang", "literal", "fr", None, None),
+        (None, "iri", "d1", "chars", "literal", "10", "xsd:int", None),
+        (None, "iri", "d2", "lang", "literal", "en", None, None),
+        (None, "iri", "d2", "chars", "literal", "20", "xsd:int", None),
+    ]
+    q = spark.createDataFrame(rows, QUAD_SCHEMA)
+    out = update_where(
+        q,
+        [("?d", "lang", "fr"), ("?d", "chars", "?c")],
+        delete_templates=[("?d", "chars", "?c")],
+        insert_templates=[("?d", "redacted", "true")],
+        materialize_solutions=False,
+    )
+    got = {(r.s, r.p, r.o) for r in out.collect()}
+    # lexical delete removes the TYPED chars quad of the fr doc only;
+    # en doc untouched; marker inserted
+    assert got == {
+        ("d1", "lang", "fr"), ("d1", "redacted", "true"),
+        ("d2", "lang", "en"), ("d2", "chars", "20"),
+    }
+
+
+def test_update_where_idempotent_insert(spark):
+    from rdf_mapper_spark.query import update_where
+    rows = [(None, "iri", "d1", "lang", "literal", "fr", None, None)]
+    q = spark.createDataFrame(rows, QUAD_SCHEMA)
+    once = update_where(q, [("?d", "lang", "fr")],
+                        insert_templates=[("?d", "seen", "y")],
+                        materialize_solutions=False)
+    twice = update_where(once, [("?d", "lang", "fr")],
+                         insert_templates=[("?d", "seen", "y")],
+                         materialize_solutions=False)
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
+
+
+def test_update_where_requires_templates(spark):
+    from rdf_mapper_spark.query import update_where
+    q = _quads(spark, [("a", "p", "1")])
+    with pytest.raises(ValueError):
+        update_where(q, [("?s", "p", "?o")])
