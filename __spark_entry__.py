@@ -302,6 +302,45 @@ def _oracle_kg_path_cites() -> str:
     return "\nUNION ALL ".join(rows)
 
 
+def q_kg_path_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed property path (query.path_alt/path_inv/path_closure —
+    SPARQL `(cites|^cites){1,2}`): citation treated as undirected,
+    2-hop relatedness with minimum hop count.  The closure engine is
+    the same iterative frontier loop as path_query, here running over
+    a COMPOSED edge set (union of the predicate and its inverse)."""
+    from rdf_mapper_spark.engine import MapperEngine
+    from rdf_mapper_spark.query import (
+        path_alt,
+        path_closure,
+        path_edges,
+        path_inv,
+    )
+    from rdf_mapper_spark.spec import MappingSpec
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "parent", (F.col("doc_id") / 2).cast("long"))
+    engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
+    quads = engine.apply(docs, file_name="documents")
+    p = path_edges(quads, KGB + "/def/cites")
+    return path_closure(path_alt(p, path_inv(p)), max_hops=2)
+
+
+def _oracle_kg_path_related() -> str:
+    iri = "'" + KGB + "/data/document/' || CAST({x} AS VARCHAR)"
+    return f"""
+WITH e AS (SELECT doc_id AS s, doc_id // 2 AS t FROM documents
+           WHERE doc_id >= 1),
+b AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+h2 AS (SELECT DISTINCT a.s AS s, c.t AS t
+       FROM b a JOIN b c ON a.t = c.s
+       EXCEPT SELECT s, t FROM b)
+SELECT {iri.format(x='s')} AS src, {iri.format(x='t')} AS dst, 1 AS hops
+FROM b
+UNION ALL
+SELECT {iri.format(x='s')}, {iri.format(x='t')}, 2 FROM h2
+"""
+
+
 FILTERED_SPEC = {
     "globals": {"$datasetBase": KGB},
     "resources": [{
@@ -2958,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_star": q_kg_bgp_star,
         "kg_bgp_stored": q_kg_bgp_stored,
         "kg_path_cites": q_kg_path_cites,
+        "kg_path_related": q_kg_path_related,
         "kg_entity_table": q_kg_entity_table,
         "kg_predicate_stats": q_kg_predicate_stats,
         "kg_shape_violations": q_kg_shape_violations,
@@ -3031,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_star": _oracle_kg_bgp_star(),
         "kg_bgp_stored": _oracle_kg_bgp_star(),
         "kg_path_cites": _oracle_kg_path_cites(),
+        "kg_path_related": _oracle_kg_path_related(),
         "kg_entity_table": _oracle_kg_entity_table(),
         "kg_predicate_stats": _oracle_kg_predicate_stats(),
         "kg_shape_violations": _oracle_kg_shape_violations(),

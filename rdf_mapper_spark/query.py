@@ -362,17 +362,66 @@ def path_query(quads: DataFrame, pred: str, max_hops: int,
     bench at k=3).  Pass False only for tiny inputs where plan-compile
     cost dominates.
     """
-    if max_hops < 1:
-        raise ValueError("max_hops must be >= 1")
+    return path_closure(path_edges(quads, pred, graph=graph),
+                        max_hops, materialize=materialize)
+
+
+def path_edges(quads: DataFrame, pred: str,
+               graph: str | None = None) -> DataFrame:
+    """(src, dst) edge set of one predicate — the atom of a SPARQL
+    property-path expression.  Compose with path_inv / path_alt /
+    path_seq, close with path_closure."""
     g_match = (F.col("g").isNull() if graph is None
                else (F.col("g") == graph))
+    return (quads.where(g_match & (F.col("p") == pred))
+            .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+            .distinct())
+
+
+def path_inv(edges: DataFrame) -> DataFrame:
+    """SPARQL `^path`: swap direction."""
+    return edges.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"))
+
+
+def path_alt(*edges: DataFrame) -> DataFrame:
+    """SPARQL `a|b`: union of edge sets, set semantics."""
+    if not edges:
+        raise ValueError("empty alternation")
+    out = edges[0].select("src", "dst")
+    for e in edges[1:]:
+        out = out.unionByName(e.select("src", "dst"))
+    return out.distinct()
+
+
+def path_seq(*edges: DataFrame) -> DataFrame:
+    """SPARQL `a/b/...`: relational composition — one equi-join per
+    step on the midpoint, left-to-right (Catalyst reorders/broadcasts
+    as sizes allow)."""
+    if not edges:
+        raise ValueError("empty sequence")
+    out = edges[0].select("src", "dst")
+    for e in edges[1:]:
+        out = (out.select("src", F.col("dst").alias("__mid"))
+               .join(e.select(F.col("src").alias("__mid"), "dst"),
+                     "__mid")
+               .select("src", "dst").distinct())
+    return out
+
+
+def path_closure(edges: DataFrame, max_hops: int,
+                 materialize: bool = True) -> DataFrame:
+    """Bounded closure of ANY composed edge set: (src, dst, hops) for
+    1..max_hops applications, hops = minimum.  The iterative engine
+    behind path_query; see its docstring for the shuffle/anti-join/
+    checkpoint rationale."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
 
     def mat(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if materialize else df
 
-    edges = mat(quads.where(g_match & (F.col("p") == pred))
-                .select(F.col("s").alias("src"), F.col("o").alias("dst"))
-                .distinct())
+    edges = mat(edges.select("src", "dst").distinct())
     reached = edges.select("src", "dst", F.lit(1).alias("hops"))
     frontier = reached
     for k in range(2, max_hops + 1):

@@ -434,3 +434,30 @@ def test_update_where_requires_templates(spark):
     q = _quads(spark, [("a", "p", "1")])
     with pytest.raises(ValueError):
         update_where(q, [("?s", "p", "?o")])
+
+
+def test_path_composition(spark):
+    from rdf_mapper_spark.query import (
+        path_alt, path_closure, path_edges, path_inv, path_seq,
+    )
+    q = _quads(spark, [
+        ("a", "p", "b"), ("b", "q", "c"), ("c", "p", "d"),
+    ])
+    p = path_edges(q, "p")
+    qq = path_edges(q, "q")
+    # sequence p/q
+    assert {(r.src, r.dst) for r in path_seq(p, qq).collect()} == \
+        {("a", "c")}
+    # alternation p|q
+    assert {(r.src, r.dst) for r in path_alt(p, qq).collect()} == \
+        {("a", "b"), ("b", "c"), ("c", "d")}
+    # inverse ^p
+    assert {(r.src, r.dst) for r in path_inv(p).collect()} == \
+        {("b", "a"), ("d", "c")}
+    # closure over a COMPOSED path: (p|q){1,3} walks the whole chain
+    closure = path_closure(path_alt(p, qq), 3, materialize=False)
+    got = {(r.src, r.dst, r.hops) for r in closure.collect()}
+    assert got == {
+        ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+        ("a", "c", 2), ("b", "d", 2), ("a", "d", 3),
+    }
