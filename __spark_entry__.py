@@ -2642,6 +2642,33 @@ GROUP BY 1
 """
 
 
+def q_kg_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY/HAVING over BGP solutions (query.bgp_aggregate):
+    per-source document count + total chars from the flagship graph —
+    one keyed aggregation with map-side partials after the pattern
+    joins."""
+    from rdf_mapper_spark.query import bgp_aggregate
+
+    quads = q_kg_flagship(spark, sf_dir)
+    return bgp_aggregate(
+        quads,
+        [("?d", KGB + "/def/source", "?src"),
+         ("?d", KGB + "/def/chars", "?c")],
+        group_vars=["?src"],
+        aggs={"n_docs": "count(*)",
+              "total_chars": "CAST(sum(CAST(c AS BIGINT)) AS BIGINT)"},
+        having=["n_docs >= 1"],
+    )
+
+
+def _oracle_kg_group_by() -> str:
+    return """
+SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source HAVING COUNT(*) >= 1
+"""
+
+
 def q_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed SPARQL DELETE/INSERT WHERE (query.update_where): one
     localCheckpointed WHERE match feeds both branches; DELETE is a
@@ -3044,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct": q_kg_construct,
         "kg_describe": q_kg_describe,
         "kg_update": q_kg_update,
+        "kg_group_by": q_kg_group_by,
         "semantic_dedup": q_semantic_dedup,
         "kg_rdfs_inference": q_kg_rdfs_inference,
         "kg_sameas": q_kg_sameas,
@@ -3120,6 +3148,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct": _oracle_kg_construct(),
         "kg_describe": _oracle_kg_describe(),
         "kg_update": _oracle_kg_update(),
+        "kg_group_by": _oracle_kg_group_by(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "kg_rdfs_inference": _oracle_kg_rdfs_inference(),
         "kg_sameas": _oracle_kg_sameas(),

@@ -327,6 +327,62 @@ def update_where(quads: DataFrame, patterns: list[tuple[str, str, str]],
     return out
 
 
+def bgp_aggregate(quads: DataFrame, patterns: list[tuple[str, str, str]],
+                  group_vars: list[str], aggs: dict[str, str],
+                  having: list[str] | None = None,
+                  graph: str | None = None,
+                  filters: list[str] | None = None) -> DataFrame:
+    """SPARQL SELECT + GROUP BY + HAVING: aggregate the BGP solution
+    set.  `aggs` maps output column -> SQL aggregate expression over
+    variable columns (e.g. ``{"n": "count(*)", "mx": "max(CAST(c AS
+    INT))"}``); `having` filters the grouped rows.  Solutions keep
+    duplicate-row semantics before grouping (SPARQL aggregates bind
+    over the multiset — pass DISTINCT inside the aggregate expression
+    itself for distinct counting).  One keyed shuffle with map-side
+    partials; HAVING stays a Column predicate after the aggregation."""
+    sols = bgp_query(quads, patterns, graph=graph, filters=filters,
+                     distinct=False)
+    out = sols.groupBy(*[v.lstrip("?") for v in group_vars]).agg(
+        *[F.expr(expr).alias(name) for name, expr in aggs.items()])
+    for cond in (having or []):
+        out = out.where(F.expr(cond))
+    return out
+
+
+def add_graph(quads: DataFrame, src: str | None, dst: str) -> DataFrame:
+    """SPARQL Update `ADD GRAPH src TO dst`: union src's quads into dst
+    (src=None = the default graph).  Set semantics on the touched graph
+    only — the dedup join is bounded by the two graphs, not the store."""
+    src_m = F.col("g").isNull() if src is None else (F.col("g") == src)
+    moved = quads.where(src_m).withColumn("g", F.lit(dst))
+    existing = quads.where(F.col("g") == dst)
+    # set-difference against dst only — the dedup shuffle is bounded by
+    # the two graphs involved, never a store-wide distinct
+    return quads.unionByName(moved.subtract(existing))
+
+
+def copy_graph(quads: DataFrame, src: str | None, dst: str) -> DataFrame:
+    """SPARQL Update `COPY GRAPH src TO dst`: dst is REPLACED by src's
+    quads (drop dst, then insert)."""
+    src_m = F.col("g").isNull() if src is None else (F.col("g") == src)
+    kept = quads.where(F.col("g").isNull() | (F.col("g") != dst))
+    return kept.unionByName(
+        quads.where(src_m).withColumn("g", F.lit(dst)))
+
+
+def move_graph(quads: DataFrame, src: str, dst: str) -> DataFrame:
+    """SPARQL Update `MOVE GRAPH src TO dst`: COPY then drop src."""
+    return copy_graph(quads, src, dst).where(F.col("g").isNull()
+                                             | (F.col("g") != src))
+
+
+def clear_graph(quads: DataFrame, graph: str | None) -> DataFrame:
+    """SPARQL Update `CLEAR/DROP GRAPH g` (same thing in the quad IR;
+    None clears the default graph)."""
+    m = F.col("g").isNull() if graph is None else (F.col("g") == graph)
+    return quads.where(~F.coalesce(m, F.lit(False)))
+
+
 def bgp_union(*solutions: DataFrame) -> DataFrame:
     """SPARQL UNION over solution sets: columns align by variable name,
     variables absent from one branch bind NULL (allowMissingColumns),

@@ -461,3 +461,46 @@ def test_path_composition(spark):
         ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
         ("a", "c", 2), ("b", "d", 2), ("a", "d", 3),
     }
+
+
+def test_bgp_aggregate(spark):
+    from rdf_mapper_spark.query import bgp_aggregate
+    q = _quads(spark, [
+        ("d1", "src", "a"), ("d2", "src", "a"), ("d3", "src", "b"),
+        ("d1", "n", "5"), ("d2", "n", "7"), ("d3", "n", "9"),
+    ])
+    out = bgp_aggregate(
+        q, [("?d", "src", "?s"), ("?d", "n", "?n")],
+        group_vars=["?s"],
+        aggs={"cnt": "count(*)", "mx": "max(CAST(n AS INT))"},
+        having=["cnt >= 2"],
+    ).collect()
+    assert [(r.s, r.cnt, r.mx) for r in out] == [("a", 2, 7)]
+
+
+def test_graph_management(spark):
+    from rdf_mapper_spark.query import (
+        add_graph, clear_graph, copy_graph, move_graph,
+    )
+    g1 = _quads(spark, [("s", "p", "1")], g="G1")
+    g2 = _quads(spark, [("s", "p", "2")], g="G2")
+    dflt = _quads(spark, [("s", "p", "0")])
+    q = g1.unionByName(g2).unionByName(dflt)
+
+    def snap(df):
+        return {(r.g, r.s, r.p, r.o) for r in df.collect()}
+
+    assert snap(add_graph(q, "G1", "G2")) == snap(q) | {("G2", "s", "p", "1")}
+    # ADD is idempotent for already-present quads
+    assert snap(add_graph(add_graph(q, "G1", "G2"), "G1", "G2")) == \
+        snap(q) | {("G2", "s", "p", "1")}
+    assert snap(copy_graph(q, "G1", "G2")) == \
+        {("G1", "s", "p", "1"), ("G2", "s", "p", "1"), (None, "s", "p", "0")}
+    assert snap(move_graph(q, "G1", "G2")) == \
+        {("G2", "s", "p", "1"), (None, "s", "p", "0")}
+    assert snap(clear_graph(q, "G2")) == \
+        {("G1", "s", "p", "1"), (None, "s", "p", "0")}
+    assert snap(clear_graph(q, None)) == \
+        {("G1", "s", "p", "1"), ("G2", "s", "p", "2")}
+    # ADD from the default graph
+    assert snap(add_graph(q, None, "G1")) == snap(q) | {("G1", "s", "p", "0")}
