@@ -3010,6 +3010,73 @@ FROM documents WHERE source <> 'src1'
 """
 
 
+def q_kg_bgp_values_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES + BIND in the BGP compiler (query.bgp_query): an inline
+    two-row VALUES block restricts ?src AND carries a fresh ?tier
+    binding (SPARQL inline data as an explicitly broadcast join —
+    query-sized by definition, never a shuffle), then BIND projects a
+    derived column over the bound vars inside whole-stage codegen."""
+    from rdf_mapper_spark.query import bgp_query
+
+    quads = q_kg_flagship(spark, sf_dir)
+    return bgp_query(
+        quads,
+        [("?d", RDF_TYPE, KGB + "/def/Document"),
+         ("?d", KGB + "/def/source", "?src"),
+         ("?d", KGB + "/def/chars", "?n")],
+        values={"?src": ["src1", "src2"],
+                "?tier": ["gold", "silver"]},
+        binds={"?kb": "CAST(FLOOR(CAST(n AS INT) / 1000.0) AS INT)"},
+    ).select("d", "src", "tier", "kb")
+
+
+def _oracle_kg_bgp_values_bind() -> str:
+    return f"""
+SELECT DISTINCT {_doc_subject_sql()} AS d, source AS src, v.tier AS tier,
+       CAST(FLOOR(n_chars / 1000.0) AS INT) AS kb
+FROM documents
+JOIN (VALUES ('src1', 'gold'), ('src2', 'silver')) AS v(src, tier)
+  ON documents.source = v.src
+"""
+
+
+def q_kg_bgp_exists_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER EXISTS / NOT EXISTS + ORDER BY/LIMIT solution modifiers
+    (query.bgp_query): EXISTS compiles to a LEFT SEMI join (restricts
+    without widening — a doc with many matching quads still yields one
+    solution), NOT EXISTS to a LEFT ANTI join, and the deterministic
+    top-k runs as TakeOrderedAndProject (per-partition bounded heaps),
+    never a global single-partition sort."""
+    from rdf_mapper_spark.query import bgp_query
+
+    null = F.lit(None).cast("string")
+    docs = _t(spark, sf_dir, "documents")
+    flag = docs.where(F.col("n_chars") >= 500).select(
+        null.alias("g"), F.lit("iri").alias("sk"),
+        F.concat(F.lit(KGB + "/data/document/"),
+                 F.col("doc_id")).alias("s"),
+        F.lit(KGB + "/def/flag").alias("p"),
+        F.lit("literal").alias("ok"), F.lit("big").alias("o"),
+        null.alias("odt"), null.alias("olg"))
+    quads = q_kg_flagship(spark, sf_dir).unionByName(flag)
+    return bgp_query(
+        quads,
+        [("?d", RDF_TYPE, KGB + "/def/Document"),
+         ("?d", KGB + "/def/chars", "?n")],
+        exists_groups=[[("?d", DCT + "language", "en")]],
+        not_exists_groups=[[("?d", KGB + "/def/flag", "?f")]],
+        order_by=["CAST(n AS INT) DESC", "d ASC"], limit=25,
+    ).select("d", "n")
+
+
+def _oracle_kg_bgp_exists_topk() -> str:
+    return f"""
+SELECT {_doc_subject_sql()} AS d, CAST(n_chars AS VARCHAR) AS n
+FROM documents WHERE lang = 'en' AND n_chars < 500
+ORDER BY n_chars DESC, d ASC LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3076,6 +3143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_inference": q_kg_rdfs_inference,
         "kg_sameas": q_kg_sameas,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_values_bind": q_kg_bgp_values_bind,
+        "kg_bgp_exists_topk": q_kg_bgp_exists_topk,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "corpus_curation": q_corpus_curation,
@@ -3153,6 +3222,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs_inference": _oracle_kg_rdfs_inference(),
         "kg_sameas": _oracle_kg_sameas(),
         "kg_bgp_optional": _oracle_kg_bgp_optional(),
+        "kg_bgp_values_bind": _oracle_kg_bgp_values_bind(),
+        "kg_bgp_exists_topk": _oracle_kg_bgp_exists_topk(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
         "corpus_curation": _oracle_corpus_curation(),

@@ -37,6 +37,16 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _sort_expr(e: str):
+    s = e.strip()
+    low = s.lower()
+    if low.endswith(" desc"):
+        return F.expr(s[:-5]).desc()
+    if low.endswith(" asc"):
+        return F.expr(s[:-4]).asc()
+    return F.expr(s)
+
+
 def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
               select: list[str] | None = None,
               graph: str | None = None,
@@ -44,7 +54,16 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
               materialize: bool = False,
               optional_patterns: list[list[tuple[str, str, str]]]
               | None = None,
-              filters: list[str] | None = None) -> DataFrame:
+              filters: list[str] | None = None,
+              values: dict[str, list[str | None]] | None = None,
+              binds: dict[str, str] | None = None,
+              exists_groups: list[list[tuple[str, str, str]]]
+              | None = None,
+              not_exists_groups: list[list[tuple[str, str, str]]]
+              | None = None,
+              order_by: list[str] | None = None,
+              limit: int | None = None,
+              offset: int | None = None) -> DataFrame:
     """Evaluate a conjunction of (s, p, o) triple patterns.
 
     -> one column per variable (name without the '?'), restricted to
@@ -72,6 +91,36 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
     joins (group scope), before projection.  Pure Column predicates —
     they ride inside whole-stage codegen and push down into the scans
     where Catalyst can prove it.
+
+    `values` is SPARQL's VALUES inline-data block in columnar form:
+    var -> parallel list of bindings, rows read positionally across the
+    lists (``{"?src": ["a", "b"], "?tier": ["gold", "silver"]}`` is the
+    two rows (a, gold), (b, silver)).  A ``None`` entry is SPARQL's
+    UNDEF — that variable is unconstrained in that row.  The block is
+    query-sized by definition, so it joins as an explicitly broadcast
+    table; vars shared with the group become join keys (null-skipping
+    per UNDEF), fresh vars just extend the solutions.
+
+    `binds` is SPARQL BIND(expr AS ?var): output column -> Spark SQL
+    expression over already-bound variables, applied in dict order
+    after the joins (so later binds may reference earlier ones) and
+    before `filters`.  Plain projections — no shuffle.
+
+    `exists_groups` / `not_exists_groups` are SPARQL's FILTER EXISTS
+    {...} / FILTER NOT EXISTS {...}: each group is a pattern list
+    compiled like a BGP and applied as a LEFT SEMI (resp. LEFT ANTI)
+    join on the shared variables — existence restricts the solutions
+    without ever widening them, so no dedup is needed afterwards.  A
+    group must share at least one variable with the solutions.
+
+    `order_by` / `limit` / `offset` are the solution modifiers, applied
+    last (over the projected, distinct solutions — order expressions
+    must reference projected vars).  Entries are Spark SQL expressions
+    with an optional trailing ``ASC``/``DESC``.  ORDER BY + LIMIT
+    compiles to TakeOrderedAndProject (per-partition bounded heaps
+    merged once), so a top-k over billions of solutions never runs a
+    global sort; a bare LIMIT without ORDER BY is nondeterministic
+    under parallel execution, exactly as in SPARQL.
 
     `materialize` localCheckpoints the quad input first.  Use it when
     `quads` is an EXPENSIVE computed plan that pattern filters cannot
@@ -132,11 +181,50 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
                 "OPTIONAL group shares no variable with the required "
                 f"patterns: {group}")
         out = out.join(sub, shared, "left")
+    if values:
+        names = [v.lstrip("?") for v in values]
+        rows = list(zip(*values.values()))
+        vdf = quads.sparkSession.createDataFrame(
+            rows, ", ".join(f"`__v_{n}` string" for n in names))
+        shared = [n for n in names if n in out.columns]
+        fresh = [n for n in names if n not in out.columns]
+        if shared:
+            cond = None
+            for n in shared:  # NULL = UNDEF: unconstrained in that row
+                c = (F.col(f"__v_{n}").isNull()
+                     | (F.col(f"__v_{n}") == F.col(n)))
+                cond = c if cond is None else cond & c
+            out = out.join(F.broadcast(vdf), cond)
+        else:
+            out = out.crossJoin(F.broadcast(vdf))
+        keep = [c for c in out.columns if not c.startswith("__v_")]
+        out = out.select(
+            *keep, *[F.col(f"__v_{n}").alias(n) for n in fresh])
+    for name, expr in (binds or {}).items():
+        out = out.withColumn(name.lstrip("?"), F.expr(expr))
     for cond in (filters or []):
         out = out.where(F.expr(cond))
+    for how, groups in (("left_semi", exists_groups),
+                        ("left_anti", not_exists_groups)):
+        for group in (groups or []):
+            sub = join_group(group)
+            shared = [c for c in sub.columns if c in out.columns]
+            if not shared:
+                raise ValueError(
+                    "EXISTS/NOT EXISTS group shares no variable with "
+                    f"the solutions: {group}")
+            out = out.join(sub.select(*shared), shared, how)
     if select:
         out = out.select(*[v.lstrip("?") for v in select])
-    return out.distinct() if distinct else out
+    if distinct:
+        out = out.distinct()
+    if order_by:
+        out = out.orderBy(*[_sort_expr(e) for e in order_by])
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
 
 
 def ask(quads: DataFrame, patterns: list[tuple[str, str, str]],

@@ -504,3 +504,80 @@ def test_graph_management(spark):
         {("G1", "s", "p", "1"), ("G2", "s", "p", "2")}
     # ADD from the default graph
     assert snap(add_graph(q, None, "G1")) == snap(q) | {("G1", "s", "p", "0")}
+
+
+def test_bgp_values_inline_data(spark):
+    q = _quads(spark, [
+        ("d1", "src", "a"), ("d2", "src", "b"), ("d3", "src", "c"),
+    ])
+    # shared var: VALUES restricts the solutions (multiset join)
+    out = bgp_query(q, [("?d", "src", "?s")],
+                    values={"?s": ["a", "c"]}).collect()
+    assert {(r.d, r.s) for r in out} == {("d1", "a"), ("d3", "c")}
+    # fresh var rides along row-wise; UNDEF (None) leaves it NULL
+    out = bgp_query(q, [("?d", "src", "?s")],
+                    values={"?s": ["a", "b"],
+                            "?tier": ["gold", None]}).collect()
+    assert {(r.d, r.s, r.tier) for r in out} == \
+        {("d1", "a", "gold"), ("d2", "b", None)}
+    # UNDEF on a shared var leaves that row unconstrained
+    out = bgp_query(q, [("?d", "src", "?s")],
+                    values={"?s": ["a", None],
+                            "?tag": ["x", "y"]}).collect()
+    assert {(r.d, r.s, r.tag) for r in out} == \
+        {("d1", "a", "x"),
+         ("d1", "a", "y"), ("d2", "b", "y"), ("d3", "c", "y")}
+    # disjoint VALUES block: plain solution-multiset cross product
+    assert bgp_query(q, [("?d", "src", "?s")],
+                     values={"?k": ["1", "2"]}).count() == 6
+
+
+def test_bgp_bind_expressions(spark):
+    q = _quads(spark, [("d1", "n", "5"), ("d2", "n", "12")])
+    out = bgp_query(
+        q, [("?d", "n", "?n")],
+        binds={"?n2": "CAST(n AS INT) * 2",
+               "?big": "n2 > 20"},  # later bind sees earlier bind
+        filters=["big"],
+    ).collect()
+    assert [(r.d, r.n2, r.big) for r in out] == [("d2", 24, True)]
+
+
+def test_bgp_exists_not_exists(spark):
+    q = _quads(spark, [
+        ("d1", "type", "Doc"), ("d2", "type", "Doc"), ("d3", "type", "Doc"),
+        ("d1", "flag", "spam"),
+        ("d2", "rev", "r1"), ("d2", "rev", "r2"),  # multiple matches
+    ])
+    pats = [("?d", "type", "Doc")]
+    # EXISTS restricts without widening (d2 has TWO rev quads -> still 1 row)
+    out = bgp_query(q, pats, exists_groups=[[("?d", "rev", "?r")]],
+                    distinct=False).collect()
+    assert [r.d for r in out] == ["d2"]
+    out = bgp_query(q, pats,
+                    not_exists_groups=[[("?d", "flag", "spam")]]).collect()
+    assert {r.d for r in out} == {"d2", "d3"}
+    # conjunction of both filter kinds
+    out = bgp_query(q, pats,
+                    exists_groups=[[("?d", "rev", "?r")]],
+                    not_exists_groups=[[("?d", "flag", "spam")]]).collect()
+    assert {r.d for r in out} == {"d2"}
+    with pytest.raises(ValueError):
+        bgp_query(q, pats, exists_groups=[[("x", "y", "z")]]).collect()
+
+
+def test_bgp_solution_modifiers(spark):
+    q = _quads(spark, [(f"d{i}", "n", str(i)) for i in range(10)])
+    out = bgp_query(q, [("?d", "n", "?n")],
+                    order_by=["CAST(n AS INT) DESC"], limit=3).collect()
+    assert [r.n for r in out] == ["9", "8", "7"]
+    out = bgp_query(q, [("?d", "n", "?n")],
+                    order_by=["CAST(n AS INT) ASC"],
+                    limit=2, offset=4).collect()
+    assert [r.n for r in out] == ["4", "5"]
+    # ORDER BY + LIMIT compiles to the distributed top-k operator,
+    # never a global single-partition sort
+    plan = (bgp_query(q, [("?d", "n", "?n")],
+                      order_by=["CAST(n AS INT) DESC"], limit=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
