@@ -341,6 +341,77 @@ SELECT {iri.format(x='s')}, {iri.format(x='t')}, 2 FROM h2
 """
 
 
+def q_kg_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED property-path closure (query.path_query with
+    max_hops=None — SPARQL `cites+`): iterate frontier joins to the
+    FIXPOINT, detected by an emptiness probe over each hop's
+    localCheckpointed new-pair frontier.  Converges in O(graph
+    diameter) iterations (the citation tree's depth, ~log2 of the doc
+    count); the anti-join keeps hop labels minimal and terminates
+    cycles, so the loop is safe on arbitrary graphs, not just trees."""
+    from rdf_mapper_spark.engine import MapperEngine
+    from rdf_mapper_spark.query import path_query
+    from rdf_mapper_spark.spec import MappingSpec
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "parent", (F.col("doc_id") / 2).cast("long"))
+    engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
+    quads = engine.apply(docs, file_name="documents")
+    return path_query(quads, KGB + "/def/cites", max_hops=None)
+
+
+def _oracle_kg_path_closure() -> str:
+    # each doc's full ancestor chain: recursion halves dst until it
+    # leaves the id space, mirroring the engine-emitted c -> c//2 tree
+    iri = "'" + KGB + "/data/document/' || CAST({x} AS VARCHAR)"
+    return f"""
+WITH RECURSIVE reach(s, t, hops) AS (
+  SELECT doc_id, doc_id // 2, 1 FROM documents WHERE doc_id >= 1
+  UNION ALL
+  SELECT s, t // 2, hops + 1 FROM reach WHERE t >= 1
+)
+SELECT {iri.format(x='s')} AS src, {iri.format(x='t')} AS dst, hops
+FROM reach
+"""
+
+
+def q_kg_bgp_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL sub-SELECT (bgp_query's initial_solutions): an aggregate
+    subquery — sources with >= 12 English documents — feeds the outer
+    BGP, which lists every document of those sources with the
+    subquery's count bound alongside.  The aggregate result is
+    group-cardinality-sized, so Catalyst broadcasts it into the outer
+    join; the aggregation itself is one keyed shuffle with map-side
+    partials."""
+    from rdf_mapper_spark.query import bgp_aggregate, bgp_query
+
+    quads = q_kg_flagship(spark, sf_dir)
+    sub = bgp_aggregate(
+        quads,
+        [("?d", RDF_TYPE, KGB + "/def/Document"),
+         ("?d", DCT + "language", "en"),
+         ("?d", KGB + "/def/source", "?src")],
+        group_vars=["?src"], aggs={"n_en": "count(*)"},
+        having=["n_en >= 12"])
+    return bgp_query(
+        quads,
+        [("?d", KGB + "/def/source", "?src"),
+         ("?d", KGB + "/def/chars", "?n")],
+        initial_solutions=sub,
+    ).select("d", "src", "n", "n_en")
+
+
+def _oracle_kg_bgp_subquery() -> str:
+    return f"""
+SELECT DISTINCT {_doc_subject_sql()} AS d, source AS src,
+       CAST(n_chars AS VARCHAR) AS n, v.n_en AS n_en
+FROM documents
+JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_en FROM documents
+      WHERE lang = 'en' GROUP BY source HAVING COUNT(*) >= 12) v
+  USING (source)
+"""
+
+
 FILTERED_SPEC = {
     "globals": {"$datasetBase": KGB},
     "resources": [{
@@ -3145,6 +3216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_values_bind": q_kg_bgp_values_bind,
         "kg_bgp_exists_topk": q_kg_bgp_exists_topk,
+        "kg_bgp_subquery": q_kg_bgp_subquery,
+        "kg_path_closure": q_kg_path_closure,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "corpus_curation": q_corpus_curation,
@@ -3224,6 +3297,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_optional": _oracle_kg_bgp_optional(),
         "kg_bgp_values_bind": _oracle_kg_bgp_values_bind(),
         "kg_bgp_exists_topk": _oracle_kg_bgp_exists_topk(),
+        "kg_bgp_subquery": _oracle_kg_bgp_subquery(),
+        "kg_path_closure": _oracle_kg_path_closure(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),
         "corpus_curation": _oracle_corpus_curation(),

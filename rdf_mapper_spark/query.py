@@ -63,7 +63,8 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
               | None = None,
               order_by: list[str] | None = None,
               limit: int | None = None,
-              offset: int | None = None) -> DataFrame:
+              offset: int | None = None,
+              initial_solutions: DataFrame | None = None) -> DataFrame:
     """Evaluate a conjunction of (s, p, o) triple patterns.
 
     -> one column per variable (name without the '?'), restricted to
@@ -122,6 +123,14 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
     global sort; a bare LIMIT without ORDER BY is nondeterministic
     under parallel execution, exactly as in SPARQL.
 
+    `initial_solutions` is SPARQL's sub-SELECT: a pre-computed solution
+    table (any bgp_query / bgp_aggregate result — one column per
+    variable) joined into the group on the shared variable columns
+    before OPTIONAL/VALUES/BIND apply, so outer clauses can reference
+    the subquery's bindings.  Var-disjoint subqueries cross-product,
+    the legal SPARQL join-of-multisets semantics; Catalyst broadcasts
+    the subquery side when it is small (aggregates usually are).
+
     `materialize` localCheckpoints the quad input first.  Use it when
     `quads` is an EXPENSIVE computed plan that pattern filters cannot
     prune (e.g. downstream of a shuffle or UDF).  Engine output usually
@@ -173,6 +182,11 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
         return grp
 
     out = join_group(patterns)
+    if initial_solutions is not None:
+        shared = [c for c in initial_solutions.columns
+                  if c in out.columns]
+        out = (out.join(initial_solutions, shared) if shared
+               else out.crossJoin(initial_solutions))
     for group in (optional_patterns or []):
         sub = join_group(group)
         shared = [c for c in sub.columns if c in out.columns]
@@ -483,21 +497,26 @@ def bgp_union(*solutions: DataFrame) -> DataFrame:
     return out.distinct()
 
 
-def path_query(quads: DataFrame, pred: str, max_hops: int,
+def path_query(quads: DataFrame, pred: str, max_hops: int | None,
                graph: str | None = None,
-               materialize: bool = True) -> DataFrame:
-    """Bounded property-path reachability: all (src, dst, hops) pairs
-    connected by 1..max_hops applications of `pred` (SPARQL `pred{1,k}`),
-    `hops` = the MINIMUM path length.
+               materialize: bool = True,
+               include_zero: bool = False) -> DataFrame:
+    """Property-path reachability: all (src, dst, hops) pairs connected
+    by 1..max_hops applications of `pred` (SPARQL `pred{1,k}`), `hops`
+    = the MINIMUM path length.  ``max_hops=None`` iterates to the
+    fixpoint (SPARQL `pred+`); with ``include_zero=True`` that is
+    `pred*` over the nodes incident to the predicate — see
+    path_closure.
 
     Iterative frontier expansion — hop k+1 joins the hop-k frontier with
     the edge set, anti-joined against everything already reached so each
     pair is emitted at its first (minimal) hop and cycles terminate.
     Every iteration is one shuffle join bounded by the reachable-pair
-    count; max_hops bounds the loop, which is the honest contract for a
-    distributed engine (unbounded `+` closure belongs to the connected-
-    components machinery in pipeline/canonicalize, which this reuses
-    nothing from — paths are directional and hop-labelled).
+    count; max_hops bounds the loop, and the unbounded mode converges
+    in O(graph diameter) iterations with a per-hop emptiness probe over
+    the checkpointed frontier (directional, hop-labelled reachability —
+    distinct from the undirected connected-components machinery in
+    pipeline/canonicalize).
 
     `materialize` localCheckpoints the edge set and each frontier
     (eager, lineage-truncating) — without it a lazy k-step chain
@@ -507,7 +526,8 @@ def path_query(quads: DataFrame, pred: str, max_hops: int,
     cost dominates.
     """
     return path_closure(path_edges(quads, pred, graph=graph),
-                        max_hops, materialize=materialize)
+                        max_hops, materialize=materialize,
+                        include_zero=include_zero)
 
 
 def path_edges(quads: DataFrame, pred: str,
@@ -553,22 +573,55 @@ def path_seq(*edges: DataFrame) -> DataFrame:
     return out
 
 
-def path_closure(edges: DataFrame, max_hops: int,
-                 materialize: bool = True) -> DataFrame:
-    """Bounded closure of ANY composed edge set: (src, dst, hops) for
-    1..max_hops applications, hops = minimum.  The iterative engine
-    behind path_query; see its docstring for the shuffle/anti-join/
-    checkpoint rationale."""
-    if max_hops < 1:
+def path_closure(edges: DataFrame, max_hops: int | None,
+                 materialize: bool = True,
+                 include_zero: bool = False,
+                 max_iter: int = 64) -> DataFrame:
+    """Closure of ANY composed edge set: (src, dst, hops) for 1..k
+    applications, hops = minimum.  The iterative engine behind
+    path_query; see its docstring for the shuffle/anti-join/checkpoint
+    rationale.
+
+    ``max_hops=None`` is SPARQL's unbounded `pred+`: iterate to the
+    FIXPOINT — each hop's new-pair frontier is localCheckpointed, so
+    the emptiness probe that detects convergence is a cheap count over
+    materialized partitions, and the loop runs O(graph diameter) times
+    (each iteration one shuffle join bounded by the reachable-pair
+    count — never pairs^2).  `max_iter` is the runaway guard for
+    pathological diameters (a 10^12-page web graph's reachability
+    diameter is far below 64); hitting it raises rather than silently
+    truncating the closure.
+
+    ``include_zero=True`` adds the zero-length paths (n, n, 0) for
+    every node incident to the edge set — `pred*` restricted to the
+    edge node set (SPARQL's `p*` over all terms in scope).  Minimum-hop
+    labels still hold: a cycle's (n, n) pair reports 0, not the cycle
+    length."""
+    if max_hops is not None and max_hops < 1:
         raise ValueError("max_hops must be >= 1")
 
     def mat(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if materialize else df
 
     edges = mat(edges.select("src", "dst").distinct())
-    reached = edges.select("src", "dst", F.lit(1).alias("hops"))
-    frontier = reached
-    for k in range(2, max_hops + 1):
+    frontier = edges.select("src", "dst", F.lit(1).alias("hops"))
+    reached = frontier
+    if include_zero:
+        nodes = (edges.select(F.col("src").alias("n"))
+                 .unionByName(edges.select(F.col("dst").alias("n")))
+                 .distinct())
+        zero = nodes.select(F.col("n").alias("src"),
+                            F.col("n").alias("dst"),
+                            F.lit(0).alias("hops"))
+        # a self-loop edge (n, n, 1) is subsumed by (n, n, 0)
+        reached = zero.unionByName(
+            frontier.join(zero.select("src", "dst"), ["src", "dst"],
+                          "left_anti"))
+    k = 2
+    while max_hops is None or k <= max_hops:
+        if max_hops is None and k - 2 >= max_iter:
+            raise RuntimeError(
+                f"path closure did not converge within {max_iter} hops")
         step = mat(
             frontier.select("src", F.col("dst").alias("mid"))
             .join(edges.select(F.col("src").alias("mid"), "dst"), "mid")
@@ -577,8 +630,11 @@ def path_closure(edges: DataFrame, max_hops: int,
                   "left_anti")
             .select("src", "dst", F.lit(k).alias("hops"))
         )
+        if max_hops is None and step.isEmpty():
+            break
         reached = reached.unionByName(step)
         frontier = step
+        k += 1
     return reached
 
 

@@ -581,3 +581,63 @@ def test_bgp_solution_modifiers(spark):
                       order_by=["CAST(n AS INT) DESC"], limit=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_path_closure_fixpoint_and_zero(spark):
+    from rdf_mapper_spark.query import path_query
+
+    # chain a->b->c->d plus a 2-cycle x<->y: fixpoint must converge
+    q = _quads(spark, [
+        ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"),
+        ("x", "next", "y"), ("y", "next", "x"),
+    ])
+    got = {(r.src, r.dst): r.hops
+           for r in path_query(q, "next", max_hops=None).collect()}
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1,
+        ("a", "c"): 2, ("b", "d"): 2, ("a", "d"): 3,
+        ("x", "y"): 1, ("y", "x"): 1, ("x", "x"): 2, ("y", "y"): 2,
+    }
+    # pred* : zero-length self-paths, min-hop 0 beats the cycle length
+    got = {(r.src, r.dst): r.hops
+           for r in path_query(q, "next", max_hops=None,
+                               include_zero=True).collect()}
+    assert got[("x", "x")] == 0 and got[("y", "y")] == 0
+    assert got[("a", "a")] == 0 and got[("d", "d")] == 0
+    assert got[("a", "d")] == 3
+    # a self-loop edge is subsumed by the zero-length path
+    loop = _quads(spark, [("s", "next", "s")])
+    got = {(r.src, r.dst): r.hops
+           for r in path_query(loop, "next", max_hops=None,
+                               include_zero=True).collect()}
+    assert got == {("s", "s"): 0}
+
+    from rdf_mapper_spark.query import path_closure, path_edges
+    with pytest.raises(RuntimeError):
+        # chain longer than max_iter cannot converge within the guard
+        long = _quads(spark, [(f"n{i}", "next", f"n{i+1}")
+                              for i in range(6)])
+        path_closure(path_edges(long, "next"), None, max_iter=2)
+
+
+def test_bgp_subquery_initial_solutions(spark):
+    from rdf_mapper_spark.query import bgp_aggregate
+
+    q = _quads(spark, [
+        ("d1", "src", "a"), ("d2", "src", "a"), ("d3", "src", "b"),
+        ("d1", "n", "5"), ("d2", "n", "7"), ("d3", "n", "9"),
+    ])
+    # sub-SELECT: sources with >= 2 docs; outer query lists their docs
+    sub = bgp_aggregate(q, [("?d", "src", "?s")], group_vars=["?s"],
+                        aggs={"n_docs": "count(*)"},
+                        having=["n_docs >= 2"])
+    out = bgp_query(q, [("?d", "src", "?s"), ("?d", "n", "?n")],
+                    initial_solutions=sub).collect()
+    assert {(r.d, r.s, r.n, r.n_docs) for r in out} == \
+        {("d1", "a", "5", 2), ("d2", "a", "7", 2)}
+    # var-disjoint subquery: legal cross-product join of multisets
+    scalar = sub.agg(F.sum("n_docs").alias("total"))
+    out = bgp_query(q, [("?d", "n", "?n")],
+                    initial_solutions=scalar).collect()
+    assert {(r.d, r.total) for r in out} == \
+        {("d1", 2), ("d2", 2), ("d3", 2)}
