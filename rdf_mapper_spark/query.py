@@ -47,6 +47,85 @@ def _sort_expr(e: str):
     return F.expr(s)
 
 
+def stats_catalog(quads: DataFrame, graph: str | None = None) \
+        -> dict[str, tuple[int, int, int]]:
+    """Collect predicate_stats into the planner's catalog shape:
+    predicate -> (n_triples, n_subjects, n_objects).  Predicate counts
+    are bounded by the schema (a web KG has thousands of predicates, not
+    billions), so the collect is dictionary-sized; compute it once per
+    stored snapshot and reuse across queries, exactly like a database
+    ANALYZE."""
+    return {r.p: (r.n_triples, r.n_subjects, r.n_objects)
+            for r in predicate_stats(quads, graph=graph).collect()}
+
+
+def estimate_pattern(pat: tuple[str, str, str],
+                     stats: dict[str, tuple[int, int, int]],
+                     bound: frozenset[str] | set[str] = frozenset()) -> float:
+    """Estimated result cardinality of one triple pattern under the
+    VoID catalog, treating variables in `bound` as constants (they are
+    join keys against already-produced solutions, so per-key fan-out is
+    the right proxy).  The classic independence model: start from the
+    predicate's triple count, divide by distinct subjects / objects for
+    each bound position."""
+    s, p, o = pat
+    tot_t = sum(t for t, _, _ in stats.values()) or 1
+    if _is_var(p) and p[1:] not in bound:
+        t, ns, no = tot_t, 0, 0
+        # per-position distincts unknown for the union of predicates;
+        # use the max across predicates as the conservative divisor
+        if stats:
+            ns = max(sj for _, sj, _ in stats.values())
+            no = max(ob for _, _, ob in stats.values())
+    elif _is_var(p):  # predicate var already bound: average predicate
+        t = tot_t / max(len(stats), 1)
+        ns = no = t
+    else:
+        t, ns, no = stats.get(p, (0, 0, 0))
+    card = float(t)
+    if not _is_var(s) or s[1:] in bound:
+        card /= max(ns, 1)
+    if not _is_var(o) or o[1:] in bound:
+        card /= max(no, 1)
+    return card
+
+
+def order_patterns(patterns: list[tuple[str, str, str]],
+                   stats: dict[str, tuple[int, int, int]] | None = None) \
+        -> list[tuple[str, str, str]]:
+    """Join-order a BGP greedily: pick the cheapest starting pattern,
+    then repeatedly the cheapest pattern CONNECTED to the bound
+    variables (falling back to the global cheapest only when the BGP is
+    genuinely disconnected — the unavoidable cross product).
+
+    Cost is the VoID-catalog cardinality estimate when `stats` is given
+    (see estimate_pattern); without stats it degrades to the
+    constants-first heuristic (fewer variables = more selective).
+    Connectivity-first matters independently of the cost model: a
+    var-count sort alone can interleave two disjoint selective patterns
+    and force a cross join that a connected order never pays."""
+    remaining = list(patterns)
+    ordered: list[tuple[str, str, str]] = []
+    bound: set[str] = set()
+
+    def cost(pat):
+        if stats is not None:
+            return estimate_pattern(pat, stats, bound)
+        return sum(1 for t in pat if _is_var(t) and t[1:] not in bound)
+
+    while remaining:
+        pool = remaining
+        if bound:
+            connected = [p for p in remaining
+                         if any(_is_var(t) and t[1:] in bound for t in p)]
+            pool = connected or remaining
+        best = min(pool, key=lambda p: (cost(p), remaining.index(p)))
+        ordered.append(best)
+        remaining.remove(best)
+        bound |= {t[1:] for t in best if _is_var(t)}
+    return ordered
+
+
 def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
               select: list[str] | None = None,
               graph: str | None = None,
@@ -64,7 +143,9 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
               order_by: list[str] | None = None,
               limit: int | None = None,
               offset: int | None = None,
-              initial_solutions: DataFrame | None = None) -> DataFrame:
+              initial_solutions: DataFrame | None = None,
+              stats: dict[str, tuple[int, int, int]] | None = None) \
+        -> DataFrame:
     """Evaluate a conjunction of (s, p, o) triple patterns.
 
     -> one column per variable (name without the '?'), restricted to
@@ -131,6 +212,12 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
     the legal SPARQL join-of-multisets semantics; Catalyst broadcasts
     the subquery side when it is small (aggregates usually are).
 
+    `stats` is a VoID predicate catalog (stats_catalog output) enabling
+    COST-BASED join ordering: patterns are ordered by estimated
+    cardinality under the catalog, connected-first (see order_patterns).
+    Without it the constants-first heuristic applies.  Results are
+    identical either way — only the join tree shape changes.
+
     `materialize` localCheckpoints the quad input first.  Use it when
     `quads` is an EXPENSIVE computed plan that pattern filters cannot
     prune (e.g. downstream of a shuffle or UDF).  Engine output usually
@@ -171,9 +258,9 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
         return df.select(*cols)
 
     def join_group(pats: list[tuple[str, str, str]]) -> DataFrame:
-        # most-constrained-first: fewer variables = more selective
-        ordered = sorted(pats,
-                         key=lambda p: sum(1 for t in p if _is_var(t)))
+        # greedy connected-first ordering; cost-based under `stats`,
+        # else most-constrained-first (fewer vars = more selective)
+        ordered = order_patterns(pats, stats)
         grp = compile_pattern(ordered[0])
         for pat in ordered[1:]:
             nxt = compile_pattern(pat)
@@ -243,13 +330,14 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
 
 def ask(quads: DataFrame, patterns: list[tuple[str, str, str]],
         graph: str | None = None,
-        filters: list[str] | None = None) -> bool:
+        filters: list[str] | None = None,
+        stats: dict[str, tuple[int, int, int]] | None = None) -> bool:
     """SPARQL ASK: does at least one solution exist?  Evaluates the BGP
     with `distinct=False` (dedup is wasted work for existence) under a
     LIMIT-1 collect, so Spark stops at the first produced row instead
     of materializing the solution set."""
     sols = bgp_query(quads, patterns, graph=graph, filters=filters,
-                     distinct=False)
+                     distinct=False, stats=stats)
     return len(sols.take(1)) > 0
 
 
@@ -433,7 +521,9 @@ def bgp_aggregate(quads: DataFrame, patterns: list[tuple[str, str, str]],
                   group_vars: list[str], aggs: dict[str, str],
                   having: list[str] | None = None,
                   graph: str | None = None,
-                  filters: list[str] | None = None) -> DataFrame:
+                  filters: list[str] | None = None,
+                  stats: dict[str, tuple[int, int, int]] | None = None) \
+        -> DataFrame:
     """SPARQL SELECT + GROUP BY + HAVING: aggregate the BGP solution
     set.  `aggs` maps output column -> SQL aggregate expression over
     variable columns (e.g. ``{"n": "count(*)", "mx": "max(CAST(c AS
@@ -443,7 +533,7 @@ def bgp_aggregate(quads: DataFrame, patterns: list[tuple[str, str, str]],
     itself for distinct counting).  One keyed shuffle with map-side
     partials; HAVING stays a Column predicate after the aggregation."""
     sols = bgp_query(quads, patterns, graph=graph, filters=filters,
-                     distinct=False)
+                     distinct=False, stats=stats)
     out = sols.groupBy(*[v.lstrip("?") for v in group_vars]).agg(
         *[F.expr(expr).alias(name) for name, expr in aggs.items()])
     for cond in (having or []):

@@ -641,3 +641,75 @@ def test_bgp_subquery_initial_solutions(spark):
                     initial_solutions=scalar).collect()
     assert {(r.d, r.total) for r in out} == \
         {("d1", 2), ("d2", 2), ("d3", 2)}
+
+
+# --- cost-based join ordering (VoID stats catalog) ---------------------
+
+def test_order_patterns_connectivity_avoids_cross(spark):
+    # var-count ordering alone would put the two 1-var patterns first
+    # and cross-join them; connected-first never pays that
+    from rdf_mapper_spark.query import order_patterns
+    pats = [("?a", "p", "c1"), ("?b", "q", "c2"), ("?a", "r", "?b")]
+    ordered = order_patterns(pats)
+    assert ordered[0] == ("?a", "p", "c1")
+    assert ordered[1] == ("?a", "r", "?b")      # connected, not ?b/q/c2
+    assert ordered[2] == ("?b", "q", "c2")
+
+
+def test_bgp_connected_order_plan_no_cartesian(spark):
+    q = _quads(spark, [
+        ("a", "p", "c1"), ("b", "q", "c2"), ("a", "r", "b"),
+        ("x", "p", "c9"), ("b2", "q", "c2"),
+    ])
+    out = bgp_query(q, [("?a", "p", "c1"), ("?b", "q", "c2"),
+                        ("?a", "r", "?b")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert [(r.a, r.b) for r in out.collect()] == [("a", "b")]
+
+
+def test_estimate_pattern_cost_model():
+    from rdf_mapper_spark.query import estimate_pattern
+    stats = {"common": (1_000_000, 100_000, 50_000),
+             "rare": (20, 20, 5)}
+    # predicate-only binding: the raw triple count
+    assert estimate_pattern(("?s", "common", "?o"), stats) == 1_000_000
+    assert estimate_pattern(("?s", "rare", "?o"), stats) == 20
+    # constant subject divides by distinct subjects
+    assert estimate_pattern(("s1", "common", "?o"), stats) == 10.0
+    # bound variable treated like a constant
+    assert estimate_pattern(("?s", "common", "?o"), stats,
+                            bound={"s"}) == 10.0
+    # unknown predicate estimates empty (cheapest possible)
+    assert estimate_pattern(("?s", "absent", "?o"), stats) == 0.0
+    # unbound predicate variable: total triples over the catalog
+    assert estimate_pattern(("?s", "?p", "?o"), stats) == 1_000_020
+
+
+def test_order_patterns_stats_rare_first(spark):
+    from rdf_mapper_spark.query import order_patterns
+    stats = {"common": (1_000_000, 100_000, 50_000),
+             "rare": (20, 20, 5)}
+    pats = [("?d", "common", "?x"), ("?d", "rare", "?y")]
+    ordered = order_patterns(pats, stats)
+    assert ordered[0] == ("?d", "rare", "?y")
+    # without stats the tie breaks on input order instead
+    assert order_patterns(pats)[0] == ("?d", "common", "?x")
+
+
+def test_bgp_query_stats_same_results(spark):
+    from rdf_mapper_spark.query import stats_catalog
+    q = _quads(spark, [
+        ("d1", "type", "Doc"), ("d1", "lang", "en"), ("d1", "src", "a"),
+        ("d2", "type", "Doc"), ("d2", "lang", "fr"), ("d2", "src", "b"),
+        ("d3", "type", "Img"), ("d3", "lang", "en"), ("d3", "src", "c"),
+    ])
+    cat = stats_catalog(q)
+    assert cat["type"] == (3, 3, 2)
+    pats = [("?d", "type", "Doc"), ("?d", "lang", "en"),
+            ("?d", "src", "?s")]
+    base = {(r.d, r.s) for r in bgp_query(q, pats).collect()}
+    with_stats = {(r.d, r.s)
+                  for r in bgp_query(q, pats, stats=cat).collect()}
+    assert base == with_stats == {("d1", "a")}
