@@ -412,6 +412,67 @@ JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_en FROM documents
 """
 
 
+def q_kg_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL TEXT front-end (rdf_mapper_spark/sparql.py): the stored-
+    quad star query written as an actual SPARQL string — parsed by the
+    recursive-descent parser onto the same bgp_query plan as
+    kg_bgp_stored, plus a numeric FILTER the parser translates to a
+    Spark SQL predicate.  Static predicate-partition pruning and all
+    other scale properties carry over unchanged because the text layer
+    only BUILDS the programmatic call."""
+    from rdf_mapper_spark.sparql import sparql
+    from rdf_mapper_spark.store import read_quad_store
+
+    path = _ensure_quad_store(spark, sf_dir)
+    stored = read_quad_store(spark, path)
+    return sparql(stored, f"""
+        PREFIX dct: <{DCT}>
+        PREFIX kg:  <{KGB}/def/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?d ?src ?n WHERE {{
+            ?d a kg:Document ;
+               dct:language "en" ;
+               kg:source ?src ;
+               kg:chars ?n .
+            FILTER(xsd:integer(?n) >= 500)
+        }}""")
+
+
+def _oracle_kg_sparql_select() -> str:
+    return f"""
+SELECT DISTINCT {_doc_subject_sql()} AS d, source AS src,
+       CAST(n_chars AS VARCHAR) AS n
+FROM documents WHERE lang = 'en' AND n_chars >= 500
+"""
+
+
+def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text aggregation: GROUP BY + COUNT + HAVING parsed from a
+    query string onto one keyed shuffle with map-side partials (the
+    bgp_aggregate plan shape)."""
+    from rdf_mapper_spark.sparql import sparql
+    from rdf_mapper_spark.store import read_quad_store
+
+    path = _ensure_quad_store(spark, sf_dir)
+    stored = read_quad_store(spark, path)
+    return sparql(stored, f"""
+        PREFIX dct: <{DCT}>
+        PREFIX kg:  <{KGB}/def/>
+        SELECT ?src (COUNT(*) AS ?n_docs) WHERE {{
+            ?d a kg:Document ;
+               dct:language "en" ;
+               kg:source ?src .
+        }} GROUP BY ?src HAVING(?n_docs >= 5)""")
+
+
+def _oracle_kg_sparql_agg() -> str:
+    return """
+SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents WHERE lang = 'en'
+GROUP BY source HAVING COUNT(*) >= 5
+"""
+
+
 FILTERED_SPEC = {
     "globals": {"$datasetBase": KGB},
     "resources": [{
@@ -3217,6 +3278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_values_bind": q_kg_bgp_values_bind,
         "kg_bgp_exists_topk": q_kg_bgp_exists_topk,
         "kg_bgp_subquery": q_kg_bgp_subquery,
+        "kg_sparql_select": q_kg_sparql_select,
+        "kg_sparql_agg": q_kg_sparql_agg,
         "kg_path_closure": q_kg_path_closure,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
@@ -3298,6 +3361,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_values_bind": _oracle_kg_bgp_values_bind(),
         "kg_bgp_exists_topk": _oracle_kg_bgp_exists_topk(),
         "kg_bgp_subquery": _oracle_kg_bgp_subquery(),
+        "kg_sparql_select": _oracle_kg_sparql_select(),
+        "kg_sparql_agg": _oracle_kg_sparql_agg(),
         "kg_path_closure": _oracle_kg_path_closure(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),

@@ -161,6 +161,8 @@ def main() -> None:
         # round 5b: inference layer + OPTIONAL/FILTER read path
         "kg_rdfs_inference", "kg_sameas", "kg_bgp_optional", "kg_construct",
         "semantic_dedup", "kg_update",
+        # round 5c: SPARQL text front-end over the stored quad table
+        "kg_sparql_select", "kg_sparql_agg",
     ]
     queries = entry_mod.queries()
 
