@@ -446,6 +446,37 @@ FROM documents WHERE lang = 'en' AND n_chars >= 500
 """
 
 
+def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path from SPARQL TEXT: `?src kg:cites+ ?dst` parsed to
+    the same unbounded fixpoint closure as kg_path_closure (iterative
+    frontier joins, localCheckpointed frontiers, anti-join minimality) —
+    the parser routes path expressions onto query.path_* unchanged."""
+    from rdf_mapper_spark.engine import MapperEngine
+    from rdf_mapper_spark.sparql import sparql
+    from rdf_mapper_spark.spec import MappingSpec
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "parent", (F.col("doc_id") / 2).cast("long"))
+    engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
+    quads = engine.apply(docs, file_name="documents")
+    return sparql(quads, f"""
+        PREFIX kg: <{KGB}/def/>
+        SELECT ?src ?dst WHERE {{ ?src kg:cites+ ?dst }}""")
+
+
+def _oracle_kg_sparql_path() -> str:
+    iri = "'" + KGB + "/data/document/' || CAST({x} AS VARCHAR)"
+    return f"""
+WITH RECURSIVE reach(s, t) AS (
+  SELECT doc_id, doc_id // 2 FROM documents WHERE doc_id >= 1
+  UNION ALL
+  SELECT s, t // 2 FROM reach WHERE t >= 1
+)
+SELECT DISTINCT {iri.format(x='s')} AS src, {iri.format(x='t')} AS dst
+FROM reach
+"""
+
+
 def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL text aggregation: GROUP BY + COUNT + HAVING parsed from a
     query string onto one keyed shuffle with map-side partials (the
@@ -3280,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_subquery": q_kg_bgp_subquery,
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_path": q_kg_sparql_path,
         "kg_path_closure": q_kg_path_closure,
         "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
@@ -3363,6 +3395,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_subquery": _oracle_kg_bgp_subquery(),
         "kg_sparql_select": _oracle_kg_sparql_select(),
         "kg_sparql_agg": _oracle_kg_sparql_agg(),
+        "kg_sparql_path": _oracle_kg_sparql_path(),
         "kg_path_closure": _oracle_kg_path_closure(),
         "repetition_metrics": _oracle_repetition_metrics(),
         "corpus_sample": _oracle_corpus_sample(),

@@ -31,6 +31,10 @@ Supported surface (the subset the programmatic layer implements):
   {...}, BIND(expr AS ?v), VALUES (inline data with UNDEF),
   MINUS {...}, { A } UNION { B }, nested sub-SELECT, GRAPH <g>/{?g}
   wrapping the group
+* property paths in predicate position: `^p` inverse, `p1/p2`
+  sequence, `p1|p2` alternation, `p+`/`p*` closure, parenthesized
+  composition — compiled onto the query layer's composable path
+  operators (path_edges/inv/alt/seq/closure)
 * Updates (sparql_update): INSERT DATA, DELETE DATA, DELETE/INSERT
   WHERE, DELETE WHERE, CLEAR/ADD/COPY/MOVE GRAPH
 
@@ -52,7 +56,8 @@ from pyspark.sql import functions as F
 from rdf_mapper_spark.query import (ask, bgp_minus, bgp_query, bgp_union,
                                     add_graph, clear_graph, copy_graph,
                                     describe, instantiate, move_graph,
-                                    update_where)
+                                    path_alt, path_closure, path_edges,
+                                    path_inv, path_seq, update_where)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -66,7 +71,7 @@ _TOKEN = re.compile(r"""
   | (?P<number>   [+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)? )
   | (?P<pname>    \w[\w.-]*:[\w.%-]* | \w[\w-]*: | :[\w.%-]* )
   | (?P<name>     [A-Za-z_][\w-]* )
-  | (?P<op>       \^\^ | && | \|\| | != | <= | >= | [{}().,;*/+\-=<>!] )
+  | (?P<op>       \^\^ | && | \|\| | != | <= | >= | [{}().,;*/+\-=<>!|^] )
   | (?P<ws>       \s+ | \#[^\n]* )
 """, re.VERBOSE)
 
@@ -197,6 +202,9 @@ class _Group:
 
     def __init__(self):
         self.patterns: list[tuple[str, str, str]] = []
+        # (subj, path-AST, obj) triples whose predicate is a property
+        # path expression — evaluated via the path_* machinery
+        self.path_triples: list[tuple[str, tuple, str]] = []
         self.optionals: list[list[tuple[str, str, str]]] = []
         self.filters: list[str] = []
         self.exists: list[list[tuple[str, str, str]]] = []
@@ -293,13 +301,73 @@ class _Parser:
             iri = self.next()
             self.prefixes[pname[:-1].split(":")[0]] = iri[1:-1]
 
+    # -- property paths (predicate position) --
+    def path(self):
+        """Parse a predicate: a plain term (IRI / ?var / `a`) or a
+        property-path expression.  Returns the term string for plain
+        predicates, or a path-AST tuple for real paths:
+        ('iri', p) | ('inv', sub) | ('plus'|'star', sub) |
+        ('seq'|'alt', [subs]).  Grammar: alt > seq > elt(^ _ +|*)."""
+        def primary():
+            if self.peek() == "(":
+                self.next()
+                p = alt()
+                self.eat(")")
+                return p
+            if self.peek().startswith("?"):
+                return ("var", self.next())
+            return ("iri", self.term())
+
+        def elt():
+            inv = False
+            if self.peek() == "^":
+                self.next()
+                inv = True
+            p = primary()
+            if self.peek() == "+":
+                self.next()
+                p = ("plus", p)
+            elif self.peek() == "*":
+                self.next()
+                p = ("star", p)
+            if inv:
+                p = ("inv", p)
+            return p
+
+        def seq():
+            parts = [elt()]
+            while self.peek() == "/":
+                self.next()
+                parts.append(elt())
+            return parts[0] if len(parts) == 1 else ("seq", parts)
+
+        def alt():
+            parts = [seq()]
+            while self.peek() == "|":
+                self.next()
+                parts.append(seq())
+            return parts[0] if len(parts) == 1 else ("alt", parts)
+
+        p = alt()
+        if p[0] in ("iri", "var"):
+            return p[1]                       # plain predicate term
+        return p
+
     # -- triple blocks --
-    def triples(self, out: list[tuple[str, str, str]]):
+    def triples(self, out: list[tuple[str, str, str]],
+                paths: list[tuple[str, tuple, str]] | None = None):
         subj = self.term()
         while True:
-            pred = self.term()
+            pred = self.path()
+            if isinstance(pred, tuple) and paths is None:
+                raise ValueError("property paths are not allowed in "
+                                 "templates / data blocks")
             while True:
-                out.append((subj, pred, self.term()))
+                obj = self.term()
+                if isinstance(pred, tuple):
+                    paths.append((subj, pred, obj))
+                else:
+                    out.append((subj, pred, obj))
                 if self.peek() == ",":
                     self.next()
                     continue
@@ -341,7 +409,8 @@ class _Parser:
                 self.next()
                 sub = self.group()
                 if (sub.optionals or sub.filters or sub.union_branches
-                        or sub.minus or sub.subselects):
+                        or sub.minus or sub.subselects
+                        or sub.path_triples):
                     raise ValueError("OPTIONAL supports plain pattern "
                                      "groups")
                 g.optionals.append(sub.patterns)
@@ -349,11 +418,12 @@ class _Parser:
                 self.next()
                 if self.at_kw("EXISTS"):
                     self.next()
-                    g.exists.append(self.group().patterns)
+                    g.exists.append(self._plain_patterns("EXISTS"))
                 elif self.at_kw("NOT"):
                     self.next()
                     self.eat("EXISTS")
-                    g.not_exists.append(self.group().patterns)
+                    g.not_exists.append(self._plain_patterns(
+                        "NOT EXISTS"))
                 else:
                     g.filters.append(self._expr_until_close())
             elif self.at_kw("BIND"):
@@ -388,6 +458,7 @@ class _Parser:
                 if inner.union_branches or inner.subselects:
                     raise ValueError("GRAPH wraps plain pattern groups")
                 g.patterns += inner.patterns
+                g.path_triples += inner.path_triples
                 g.optionals += inner.optionals
                 g.filters += inner.filters
             elif self.peek() == "{":                  # group -> UNION
@@ -399,6 +470,7 @@ class _Parser:
                 if len(branches) == 1:
                     # plain nested group: merge
                     g.patterns += branch.patterns
+                    g.path_triples += branch.path_triples
                     g.optionals += branch.optionals
                     g.filters += branch.filters
                     g.subselects += branch.subselects
@@ -407,9 +479,15 @@ class _Parser:
             elif self.peek() == ".":
                 self.next()
             else:
-                self.triples(g.patterns)
+                self.triples(g.patterns, g.path_triples)
         self.eat("}")
         return g
+
+    def _plain_patterns(self, ctx: str) -> list[tuple[str, str, str]]:
+        sub = self.group()
+        if sub.path_triples or sub.union_branches or sub.subselects:
+            raise ValueError(f"{ctx} supports plain pattern groups")
+        return sub.patterns
 
     def _values_block(self) -> dict[str, list[str | None]]:
         def cell():
@@ -578,6 +656,58 @@ class _Parser:
 
 # --- evaluation ----------------------------------------------------------
 
+def _path_edge_set(quads: DataFrame, ast: tuple,
+                   graph: str | None) -> DataFrame:
+    """Compile a path AST to its (src, dst) edge set via the query
+    layer's composable path operators.  `+`/`*` close over the COMPOSED
+    edge set (iterative frontier expansion, one bounded shuffle join
+    per hop — see query.path_closure for the scale rationale)."""
+    kind = ast[0]
+    if kind == "iri":
+        return path_edges(quads, ast[1], graph=graph)
+    if kind == "inv":
+        return path_inv(_path_edge_set(quads, ast[1], graph))
+    if kind == "alt":
+        return path_alt(*[_path_edge_set(quads, x, graph)
+                          for x in ast[1]])
+    if kind == "seq":
+        return path_seq(*[_path_edge_set(quads, x, graph)
+                          for x in ast[1]])
+    if kind in ("plus", "star"):
+        return path_closure(
+            _path_edge_set(quads, ast[1], graph), None,
+            include_zero=(kind == "star")).select("src", "dst")
+    raise AssertionError(ast)
+
+
+def _path_solutions(quads: DataFrame,
+                    trip: tuple[str, tuple, str],
+                    graph: str | None, idx: int) -> DataFrame:
+    """One path triple -> a solutions DataFrame (columns = its
+    variables), joined into the group like a sub-SELECT result."""
+    s, ast, o = trip
+    if graph is not None and graph.startswith("?"):
+        raise ValueError("property paths inside GRAPH ?var are not "
+                         "supported")
+    e = _path_edge_set(quads, ast, graph)
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    if s_var and o_var:
+        if s == o:
+            return (e.where(F.col("src") == F.col("dst"))
+                    .select(F.col("src").alias(s[1:])).distinct())
+        return e.select(F.col("src").alias(s[1:]),
+                        F.col("dst").alias(o[1:]))
+    if s_var:
+        return (e.where(F.col("dst") == o)
+                .select(F.col("src").alias(s[1:])).distinct())
+    if o_var:
+        return (e.where(F.col("src") == s)
+                .select(F.col("dst").alias(o[1:])).distinct())
+    # both constants: existence marker (0 or 1 rows; cross-joins in)
+    return (e.where((F.col("src") == s) & (F.col("dst") == o))
+            .select(F.lit(1).alias(f"__path{idx}")).limit(1))
+
+
 def _eval_group(quads: DataFrame, g: _Group,
                 stats=None, distinct=True,
                 select=None, order_by=None, limit=None,
@@ -590,6 +720,8 @@ def _eval_group(quads: DataFrame, g: _Group,
               for b in g.union_branches]))
     for sq in g.subselects:
         initials.append(_eval_select(quads, sq, stats))
+    for i, pt in enumerate(g.path_triples):
+        initials.append(_path_solutions(quads, pt, g.graph, i))
     initial = None
     for df in initials:   # fold: SPARQL join-of-multisets semantics
         if initial is None:
@@ -610,6 +742,8 @@ def _eval_group(quads: DataFrame, g: _Group,
             out = out.withColumn(name.lstrip("?"), F.expr(expr))
         for cond in g.filters:
             out = out.where(F.expr(cond))
+        out = out.drop(*[c for c in out.columns
+                         if c.startswith("__path")])
         for m in g.minus:
             out = bgp_minus(out, _eval_group(quads, m, stats))
         if select:
@@ -634,6 +768,9 @@ def _eval_group(quads: DataFrame, g: _Group,
         order_by=order_by if not g.minus else None,
         limit=limit if not g.minus else None,
         offset=offset if not g.minus else None)
+    markers = [c for c in out.columns if c.startswith("__path")]
+    if markers:
+        out = out.drop(*markers)
     if g.minus:
         for m in g.minus:
             out = bgp_minus(out, _eval_group(quads, m, stats))
@@ -690,7 +827,8 @@ def sparql(quads: DataFrame, text: str, stats=None):
     if q.verb == "ASK":
         g = q.group
         if g.union_branches or g.minus or g.subselects or g.optionals \
-                or g.binds or g.values or g.exists or g.not_exists:
+                or g.binds or g.values or g.exists or g.not_exists \
+                or g.path_triples:
             return len(_eval_group(quads, g, stats,
                                    distinct=False).take(1)) > 0
         return ask(quads, g.patterns, graph=g.graph,

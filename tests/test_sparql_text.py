@@ -288,3 +288,81 @@ def test_undeclared_prefix_raises(spark):
 def test_unsupported_verb_raises(spark):
     with pytest.raises(ValueError, match="unsupported"):
         sparql(_docs(spark), "LOAD <http://x>")
+
+
+# --- property paths ------------------------------------------------------
+
+def _cites(spark):
+    return _quads(spark, [
+        ("a", "cites", "b"), ("b", "cites", "c"), ("c", "cites", "d"),
+        ("a", "refs", "x"), ("x", "cites", "y"),
+    ])
+
+
+def test_path_plus_closure(spark):
+    out = sparql(_cites(spark), """
+        SELECT ?t WHERE { <a> <cites>+ ?t }""")
+    assert {r.t for r in out.collect()} == {"b", "c", "d"}
+
+
+def test_path_star_includes_zero(spark):
+    out = sparql(_cites(spark), """
+        SELECT ?t WHERE { <a> <cites>* ?t }""")
+    assert {r.t for r in out.collect()} == {"a", "b", "c", "d"}
+
+
+def test_path_inverse(spark):
+    out = sparql(_cites(spark), """
+        SELECT ?s WHERE { <c> ^<cites> ?s }""")
+    assert {r.s for r in out.collect()} == {"b"}
+
+
+def test_path_sequence_and_alternation(spark):
+    seq = sparql(_cites(spark), """
+        SELECT ?t WHERE { <a> <refs>/<cites> ?t }""")
+    assert {r.t for r in seq.collect()} == {"y"}
+    alt = sparql(_cites(spark), """
+        SELECT ?t WHERE { <a> (<refs>|<cites>) ?t }""")
+    assert {r.t for r in alt.collect()} == {"b", "x"}
+
+
+def test_path_composed_closure(spark):
+    out = sparql(_cites(spark), """
+        SELECT ?t WHERE { <a> (<refs>|<cites>)+ ?t }""")
+    assert {r.t for r in out.collect()} == {"b", "c", "d", "x", "y"}
+
+
+def test_path_joins_with_bgp(spark):
+    q = _quads(spark, [
+        ("a", "cites", "b"), ("b", "cites", "c"),
+        ("a", "type", "Paper"), ("b", "type", "Paper"),
+        ("c", "type", "Note"),
+    ])
+    out = sparql(q, """
+        SELECT ?s ?t WHERE {
+            ?s <cites>+ ?t .
+            ?t <type> "Paper" .
+        }""")
+    assert {(r.s, r.t) for r in out.collect()} == {("a", "b")}
+
+
+def test_path_both_constants_ask(spark):
+    q = _cites(spark)
+    assert sparql(q, "ASK { <a> <cites>+ <d> }") is True
+    assert sparql(q, "ASK { <a> <cites>+ <x> }") is False
+
+
+def test_path_marker_not_leaked(spark):
+    out = sparql(_cites(spark), """
+        SELECT ?s WHERE { ?s <cites> ?t . <a> <cites>+ <d> }""")
+    assert out.columns == ["s"]
+    # the existence marker gates the solutions: 0 rows when path absent
+    gone = sparql(_cites(spark), """
+        SELECT ?s WHERE { ?s <cites> ?t . <a> <cites>+ <nope> }""")
+    assert gone.count() == 0
+
+
+def test_path_rejected_in_construct_template(spark):
+    with pytest.raises(ValueError, match="not allowed"):
+        sparql(_cites(spark),
+               "CONSTRUCT { ?s <p>+ ?t } WHERE { ?s <cites> ?t }")
