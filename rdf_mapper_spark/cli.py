@@ -9,6 +9,16 @@ CSV and .json/.jsonlines inputs are dispatched by extension exactly like the
 reference; parquet directories/files are accepted as the web-scale input.
 Turtle/TriG/update/delete serialize driver-side (test/interop scale);
 ``--nquads-dir`` writes the distributed N-Quads sink instead.
+
+A ``query`` mode runs SPARQL text against a stored quad table (the
+read side, rdf_mapper_spark/sparql.py):
+
+    python -m rdf_mapper_spark.cli query STORE "SELECT ... WHERE {...}"
+        [--format csv|json] [--limit N] [--master local[*]]
+
+STORE is a write_quad_store directory (predicate-partitioned, pruned
+reads) or any parquet of quad rows.  SELECT/ASK print solutions to
+stdout; CONSTRUCT/DESCRIBE print Turtle.
 """
 
 from __future__ import annotations
@@ -39,7 +49,75 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_query_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rdf-mapper-spark query",
+        description="Run a SPARQL query string against a quad store",
+    )
+    p.add_argument("store", help="quad-store directory or quad parquet")
+    p.add_argument("sparql", help="SPARQL query text (or @file to read)")
+    p.add_argument("--format", default="csv", choices=["csv", "json"],
+                   help="solution output format for SELECT")
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap printed solutions (display only)")
+    p.add_argument("--master", default="local[*]")
+    return p
+
+
+def query_main(argv: list[str]) -> int:
+    from pyspark.sql import SparkSession
+
+    from rdf_mapper_spark.sinks import turtle_string
+    from rdf_mapper_spark.sparql import sparql
+    from rdf_mapper_spark.store import read_quad_store
+
+    args = build_query_parser().parse_args(argv)
+    text = args.sparql
+    if text.startswith("@"):
+        with open(text[1:], encoding="utf-8") as fh:
+            text = fh.read()
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("rdf-mapper-spark-query")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    is_store = os.path.isdir(args.store) and any(
+        e.startswith("p=") for e in os.listdir(args.store))
+    if is_store:      # predicate-partitioned store: decode NULL-graph
+        quads = read_quad_store(spark, args.store)
+    else:
+        quads = spark.read.parquet(args.store)
+    out = sparql(quads, text)
+    if isinstance(out, bool):                     # ASK
+        print("true" if out else "false")
+        return 0
+    cols = out.columns
+    if set(cols) >= {"s", "p", "o", "ok"}:        # CONSTRUCT / DESCRIBE
+        sys.stdout.write(turtle_string(out, {}))
+        return 0
+    rows = out.limit(args.limit).collect() if args.limit \
+        else out.collect()
+    if args.format == "json":
+        import json
+        for r in rows:
+            print(json.dumps(r.asDict(), ensure_ascii=False))
+    else:
+        print(",".join(cols))
+        for r in rows:
+            print(",".join("" if r[c] is None else str(r[c])
+                           for c in cols))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
+
     from pyspark.sql import SparkSession
 
     from rdf_mapper_spark.engine import MapperEngine
