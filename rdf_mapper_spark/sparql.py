@@ -520,7 +520,8 @@ class _Parser:
         return {name: vals}
 
     # -- SELECT head + solution modifiers --
-    _AGG_KW = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE")
+    _AGG_KW = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+               "GROUP_CONCAT")
 
     def select_query(self) -> _Query:
         q = _Query()
@@ -595,12 +596,19 @@ class _Parser:
             arg = "*"
         else:
             depth, toks = 0, []
-            while not (self.peek() == ")" and depth == 0):
+            while not (self.peek() in (")", ";") and depth == 0):
                 tok = self.next()
                 depth += tok == "("
                 depth -= tok == ")"
                 toks.append(tok)
             arg = _ExprTranslator(toks, self.expand).run()
+        sep = " "
+        if self.peek() == ";":                # GROUP_CONCAT separator
+            self.next()
+            if self.peek().upper() == "SEPARATOR":
+                self.next()
+                self.eat("=")
+                sep = _unquote(self.next())
         self.eat(")")
         self.eat("AS")
         alias = self.next()[1:]
@@ -609,6 +617,14 @@ class _Parser:
             arg = f"CAST({arg} AS DOUBLE)"
         if fn == "SAMPLE":
             return alias, f"first({arg})"
+        if fn == "GROUP_CONCAT":
+            # sort_array makes the concatenation DETERMINISTIC (SPARQL
+            # leaves the order undefined; sorted is a legal refinement
+            # and the only one that survives distributed execution)
+            inner = f"collect_set({arg})" if distinct \
+                else f"collect_list({arg})"
+            sq = sep.replace("'", "''")
+            return alias, f"array_join(sort_array({inner}), '{sq}')"
         return alias, f"{fn.lower()}({distinct}{arg})"
 
     # -- other verbs --

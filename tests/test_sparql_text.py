@@ -366,3 +366,54 @@ def test_path_rejected_in_construct_template(spark):
     with pytest.raises(ValueError, match="not allowed"):
         sparql(_cites(spark),
                "CONSTRUCT { ?s <p>+ ?t } WHERE { ?s <cites> ?t }")
+
+
+# --- plan shape: the text layer adds nothing to the physical plan --------
+
+def test_text_query_plan_stays_jvm_and_pruned(spark, tmp_path):
+    """Parsing is driver-side only: a text-parsed star query over the
+    predicate-partitioned store keeps static partition pruning and has
+    zero Python in the executed plan — identical plan class to the
+    programmatic bgp_query it compiles to."""
+    from rdf_mapper_spark.store import read_quad_store, write_quad_store
+
+    rows = []
+    for i in range(40):
+        rows.append((None, "iri", f"http://x/s{i}",
+                     "http://x/def/type", "iri", "http://x/Doc",
+                     None, None))
+        rows.append((None, "iri", f"http://x/s{i}",
+                     "http://x/def/name", "literal", f"n{i}",
+                     None, None))
+        rows.append((None, "iri", f"http://x/s{i}",
+                     "http://x/def/junk", "literal", "z", None, None))
+    q = spark.createDataFrame(rows, QUAD_SCHEMA)
+    path = str(tmp_path / "store")
+    write_quad_store(q, path)
+    stored = read_quad_store(spark, path)
+
+    out = sparql(stored, """
+        PREFIX d: <http://x/def/>
+        SELECT ?s ?n WHERE { ?s d:type <http://x/Doc> ; d:name ?n }""")
+    assert out.count() == 40
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan         # zero executor Python
+    assert "CartesianProduct" not in plan
+    # both constant-predicate patterns prune: the junk partition is
+    # never read (PartitionFilters carry the p=const predicates)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "junk" not in optimized.replace("PartitionFilters", "")
+    prog = bgp_query(stored, [
+        ("?s", "http://x/def/type", "http://x/Doc"),
+        ("?s", "http://x/def/name", "?n")])
+    assert {(r.s, r.n) for r in prog.collect()} == \
+        {(r.s, r.n) for r in out.collect()}
+
+
+def test_group_concat(spark):
+    out = sparql(_docs(spark), """
+        SELECT ?src (GROUP_CONCAT(?d; SEPARATOR=",") AS ?ds) WHERE {
+            ?d <type> "Doc" ; <src> ?src .
+        } GROUP BY ?src""")
+    got = {(r.src, r.ds) for r in out.collect()}
+    assert got == {("a", "d1,d3"), ("b", "d2")}
