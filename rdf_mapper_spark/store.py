@@ -63,3 +63,35 @@ def scan_files_for(spark: SparkSession, path: str, pred: str) -> int:
     df.collect()
     scan = df._jdf.queryExecution().executedPlan().collectLeaves().head()
     return scan.metrics().apply("numFiles").value()
+
+
+def analyze_store(spark: SparkSession, path: str) -> None:
+    """Database ANALYZE for the quad store: compute the VoID predicate
+    catalog (triples / distinct subjects / distinct objects per
+    predicate — query.predicate_stats) over the WHOLE store (all
+    graphs) and write it as a parquet sidecar under `_stats`.  One
+    aggregation pass at write/compact time; every later query gets
+    cost-based BGP join ordering for free via read_stats.  Rerun after
+    appends/compaction, exactly like ANALYZE after bulk load."""
+    df = spark.read.parquet(path)
+    stats = df.groupBy("p").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("s").alias("n_subjects"),
+        F.countDistinct("o").alias("n_objects"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_stats"))
+
+
+def read_stats(spark: SparkSession, path: str) \
+        -> dict[str, tuple[int, int, int]] | None:
+    """Load the ANALYZE sidecar as the planner catalog
+    (query.stats_catalog shape: predicate -> (n_triples, n_subjects,
+    n_objects)).  None when the store was never analyzed — callers
+    fall back to the heuristic ordering.  The collect is bounded by
+    predicate cardinality (the ontology, not the data)."""
+    sidecar = os.path.join(path, "_stats")
+    if not os.path.isdir(sidecar):
+        return None
+    return {r.p: (r.n_triples, r.n_subjects, r.n_objects)
+            for r in spark.read.parquet(sidecar).collect()}

@@ -60,3 +60,34 @@ def test_bgp_over_store_prunes_and_matches(spark, tmp_path):
     # default-graph only: odd i names live in http://g/1
     assert len(out) == 20
     assert all(r.n.startswith("name") for r in out)
+
+
+def test_analyze_store_catalog_round_trip(spark, tmp_path):
+    """ANALYZE sidecar: written once at store-maintenance time, read
+    back as the cost-based planner's VoID catalog; missing sidecar ->
+    None (heuristic fallback)."""
+    from rdf_mapper_spark.query import bgp_query, order_patterns
+    from rdf_mapper_spark.store import analyze_store, read_stats
+
+    q = _quads(spark)
+    path = str(tmp_path / "store")
+    write_quad_store(q, path)
+    assert read_stats(spark, path) is None      # never analyzed
+    analyze_store(spark, path)
+    cat = read_stats(spark, path)
+    # 40 type triples (40 subjects, 1 object), 40 name triples
+    assert cat["http://x/def/type"] == (40, 40, 1)
+    assert cat["http://x/def/name"] == (40, 40, 40)
+
+    # the catalog drives ordering: the name pattern (selective object)
+    # goes before the type pattern (1 object -> no selectivity)
+    pats = [("?s", "http://x/def/type", "http://x/Doc"),
+            ("?s", "http://x/def/name", "name2")]
+    assert order_patterns(pats, cat)[0][1] == "http://x/def/name"
+
+    # and results are identical with/without the catalog
+    stored = read_quad_store(spark, path)
+    with_stats = {r.s for r in bgp_query(stored, pats, stats=cat)
+                  .collect()}
+    without = {r.s for r in bgp_query(stored, pats).collect()}
+    assert with_stats == without == {"http://x/s2"}
