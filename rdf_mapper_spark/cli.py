@@ -69,7 +69,7 @@ def query_main(argv: list[str]) -> int:
 
     from rdf_mapper_spark.sinks import turtle_string
     from rdf_mapper_spark.sparql import sparql
-    from rdf_mapper_spark.store import read_quad_store
+    from rdf_mapper_spark.store import read_quad_store, read_stats
 
     args = build_query_parser().parse_args(argv)
     text = args.sparql
@@ -86,11 +86,13 @@ def query_main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     is_store = os.path.isdir(args.store) and any(
         e.startswith("p=") for e in os.listdir(args.store))
+    stats = None
     if is_store:      # predicate-partitioned store: decode NULL-graph
         quads = read_quad_store(spark, args.store)
+        stats = read_stats(spark, args.store)   # ANALYZE sidecar, if any
     else:
         quads = spark.read.parquet(args.store)
-    out = sparql(quads, text)
+    out = sparql(quads, text, stats=stats)
     if isinstance(out, bool):                     # ASK
         print("true" if out else "false")
         return 0

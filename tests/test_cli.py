@@ -40,7 +40,7 @@ def test_cli_nquads_format(tmp_path):
 def test_cli_query_mode(tmp_path, spark):
     """End-to-end: write a quad store, query it with SPARQL text via
     the CLI `query` mode (separate spark-less subprocess)."""
-    from rdf_mapper_spark.store import write_quad_store
+    from rdf_mapper_spark.store import analyze_store, write_quad_store
 
     rows = [(None, "iri", "d1", "type", "literal", "Doc", None, None),
             (None, "iri", "d1", "src", "literal", "a", None, None),
@@ -52,6 +52,7 @@ def test_cli_query_mode(tmp_path, spark):
               "o string, odt string, olg string")
     store = str(tmp_path / "store")
     write_quad_store(quads, store)
+    analyze_store(spark, store)      # CLI auto-loads the stats sidecar
 
     r = subprocess.run(
         [sys.executable, "-m", "rdf_mapper_spark.cli", "query", store,
