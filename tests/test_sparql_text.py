@@ -417,3 +417,23 @@ def test_group_concat(spark):
         } GROUP BY ?src""")
     got = {(r.src, r.ds) for r in out.collect()}
     assert got == {("a", "d1,d3"), ("b", "d2")}
+
+
+def test_graph_variable_binding(spark):
+    rows = [("g1", "iri", "d1", "p", "literal", "v1", None, None),
+            ("g2", "iri", "d2", "p", "literal", "v2", None, None),
+            (None, "iri", "d3", "p", "literal", "v3", None, None)]
+    q = spark.createDataFrame(rows, QUAD_SCHEMA)
+    out = sparql(q, "SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?v } }")
+    # GRAPH ?g: named graphs only, graph IRI bound to the variable
+    assert {(r.g, r.s) for r in out.collect()} == \
+        {("g1", "d1"), ("g2", "d2")}
+
+
+def test_nested_group_merges(spark):
+    out = sparql(_docs(spark), """
+        SELECT ?d WHERE {
+            { ?d <type> "Doc" . }
+            ?d <lang> "en" .
+        }""")
+    assert {r.d for r in out.collect()} == {"d1", "d3"}
