@@ -34,14 +34,40 @@ QUAD_COLS_SQL = "g, sk, s, p, ok, o, odt, olg"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # The sandbox fixtures are single-file, SINGLE-ROW-GROUP parquet: every
-    # scan collapses onto one task regardless of split size, serializing all
-    # downstream per-row work. Fan small single-file inputs out across the
-    # cluster once; on a real lake (files >> cores) this never triggers and
+    # The sandbox fixtures are single-file parquet: the scan can only
+    # parallelize per ROW GROUP, so (a) coalesce the empty byte-range
+    # splits away (a 256 KB split size on a single-row-group file
+    # schedules hundreds of tasks of which one produces rows), and
+    # (b) fan rows out across the cluster with a width derived from the
+    # ROW COUNT (~50k rows/task, floor 4, cap defaultParallelism) —
+    # scale-adaptive instead of a constant tuned to the local core
+    # count.  On a real lake (files >> cores) this never triggers and
     # no shuffle is added.
-    if len(df.inputFiles()) <= 1:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    files = df.inputFiles()
+    if len(files) <= 1:
+        dp = spark.sparkContext.defaultParallelism
+        rows, rgs = _parquet_footer(files[0]) if files else (0, 1)
+        df = df.coalesce(max(1, min(dp, rgs)))
+        width = max(4, min(dp, -(-rows // 50_000)))
+        df = df.repartition(width)
     return df
+
+
+def _parquet_footer(uri: str) -> tuple[int, int]:
+    """(num_rows, num_row_groups) from the parquet footer — one driver-side
+    metadata read, no Spark job."""
+    path = uri
+    for pre in ("file://", "file:"):
+        if path.startswith(pre):
+            path = path[len(pre):]
+            break
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        return md.num_rows, md.num_row_groups
+    except Exception:
+        return 0, 1
 
 
 def _doc_subject_sql() -> str:
