@@ -85,6 +85,63 @@ QUAD_STRUCT_NULL = (
     "ok:string,o:string,odt:string,olg:string>"
 )
 
+#: dtypes whose canonical lexical form (lexical_column) provably contains
+#: no term-syntax marker ('@', '^', '<', '>') and no character outside
+#: [0-9A-Za-z .:+-] — digits, sign/exponent, 'true'/'false', ISO dates.
+_SAFE_LEX_DTYPES = {
+    "bigint", "int", "smallint", "tinyint", "double", "float",
+    "boolean", "date", "timestamp", "timestamp_ntz", "decimal",
+}
+
+#: any character a CURIE (prefix:local, both parts [\w\-.]) cannot contain;
+#: mirrors the Java (?U) pattern via Python's unicode \w
+_CURIE_BREAK_RX = re.compile(r"[^\w\-.:]", re.UNICODE)
+
+
+def _lexically_safe(ve: ValueExpr) -> bool:
+    if ve.form == "term":
+        return False
+    return (ve.dtype or "").split("(")[0] in _SAFE_LEX_DTYPES
+
+
+def _template_safety(pt, parts: list,
+                     cctx: "CompileCtx") -> tuple[bool, bool, list]:
+    """Static term-syntax analysis of an expanded template: can the final
+    string possibly contain '@' (lang-tag marker) / '^' (datatype
+    marker)?  Decidable from literal segments (exact text) and variable
+    segments whose post-pipeline dtype has a safe lexical space; any
+    string-typed/unknown segment forces 'possible'.  Also returns the
+    aligned (segment, part) pairs' static texts for CURIE/absolutize
+    decisions (None for variable segments).
+
+    Folding the runtime lang/datatype/CURIE re-parse away when it is
+    statically a no-op changes nothing semantically — the regexes could
+    never match — but shrinks the minting expression tree ~10x, which
+    pays in plan analysis, codegen and per-row regex work (guide §1.2
+    step 2: per-task work, after the distributed shape is right)."""
+    can_at = can_caret = False
+    statics: list = []
+    for seg, ve in zip(pt.segments, parts):
+        text = None
+        if isinstance(seg, Static):
+            text = seg.text
+        elif (not seg.fns and seg.var
+              and seg.var not in cctx.columns
+              and not cctx.shielded
+              and isinstance(cctx.constants.get(seg.var), str)):
+            # an un-piped spec global (e.g. {$datasetBase}) folds to a
+            # string literal — its exact text is known at compile time
+            text = cctx.constants[seg.var]
+        if text is not None:
+            statics.append(text)
+            can_at = can_at or ("@" in text)
+            can_caret = can_caret or ("^" in text)
+        else:
+            statics.append(None)
+            if not _lexically_safe(ve):
+                can_at = can_caret = True
+    return can_at, can_caret, statics
+
 
 # ---------------------------------------------------------------------------
 # Template value compilation (value_expand, template_support.py:182-202)
@@ -112,7 +169,9 @@ def compile_pattern(template: str, cctx: CompileCtx) -> ValueExpr | EmbeddedFano
     # NB: null elements of array results are NOT filtered here (that would
     # need an interpreted higher-order filter); emission paths drop nulls
     # after their (codegen'd) explode instead
-    return to_terms(result, pt.pattern_type, cctx.namespaces)
+    can_at, can_caret, _ = _template_safety(pt, parts, cctx)
+    return to_terms(result, pt.pattern_type, cctx.namespaces,
+                    suffix_free=not can_at and not can_caret)
 
 
 def _compile_expansion(seg: VarExpansion, cctx: CompileCtx) -> ValueExpr | EmbeddedFanout:
@@ -156,13 +215,18 @@ def compile_value(template: str, cctx: CompileCtx) -> ValueExpr | EmbeddedFanout
     return compile_pattern(template, cctx)
 
 
-def _pattern_strings(template: str, cctx: CompileCtx) -> ValueExpr:
+def _pattern_strings(template: str, cctx: CompileCtx,
+                     with_meta: bool = False):
     """Light-weight pattern expansion to STRING values (pattern_expand,
     template_support.py:103-111): like compile_pattern but yields lexical
     strings — lang/datatype suffixes are stripped to their value part and
     no term structs / datatype-CURIE machinery enter the expression tree.
     Used for URI templates, where the full wrap would roughly double the
-    per-row regex work in subject minting (the hottest expression)."""
+    per-row regex work in subject minting (the hottest expression).
+
+    ``with_meta=True`` additionally returns (suffix_free, statics) —
+    the static term-syntax analysis (_template_safety) the IRI pipeline
+    uses to fold the CURIE/absolutize stages away."""
     from rdf_mapper_spark.template import (
         LANGSTRING_RX_JAVA as LANG_RX,
         DATATYPE_RX_JAVA as DT_RX,
@@ -178,10 +242,19 @@ def _pattern_strings(template: str, cctx: CompileCtx) -> ValueExpr:
         if isinstance(ve, EmbeddedFanout):
             raise ValueError("map_to not allowed inside URI templates")
         parts.append(ve)
+    can_at, can_caret, statics = _template_safety(pt, parts, cctx)
+    suffix_free = not can_at and not can_caret
+
+    def ret(out: ValueExpr):
+        return (out, suffix_free, statics) if with_meta else out
+
     ve = parts[0] if pt.is_single_expansion else concat_cross_product(parts)
     if ve.form == "term":
         out = ve.map_elements(lambda t: t["v"])
-        return replace(out, form="native", dtype="string")
+        # a term-form segment carries arbitrary strings — not analyzable
+        return ((replace(out, form="native", dtype="string"),
+                 False, statics) if with_meta
+                else replace(out, form="native", dtype="string"))
     from rdf_mapper_spark.compiler.values import _DTYPE_XSD, lexical_column
 
     if ve.datatype is not None or _DTYPE_XSD.get(
@@ -189,7 +262,15 @@ def _pattern_strings(template: str, cctx: CompileCtx) -> ValueExpr:
     ):
         dtype = ve.dtype
         out = ve.map_elements(lambda c: lexical_column(c, dtype))
-        return replace(out, form="native", dtype="string")
+        return ret(replace(out, form="native", dtype="string"))
+
+    if suffix_free:
+        # neither the '@lang' nor the '^^<dt>' suffix regex can match any
+        # producible value (statically proven): the strip chain is the
+        # identity, so skip its 4 regex evaluations per row and the
+        # ~30-node when-tree per template
+        out = ve.map_elements(lambda c: c.cast("string"))
+        return ret(replace(out, form="native", dtype="string"))
 
     drop_unsuffixed = pt.pattern_type in ("langstring", "datatype")
 
@@ -203,7 +284,7 @@ def _pattern_strings(template: str, cctx: CompileCtx) -> ValueExpr:
         )
 
     out = ve.map_elements(strip)
-    return replace(out, form="native", dtype="string")
+    return ret(replace(out, form="native", dtype="string"))
 
 
 # ---------------------------------------------------------------------------
@@ -285,14 +366,41 @@ def compile_uri(pattern: str, cctx: CompileCtx,
                 digest = F.md5(F.concat(*parts))
             else:
                 digest = sha1_b32hex_col(F.concat(*parts))
-            return _absolutize(ValueExpr(digest, dtype="string"), cctx)
+            # a hex/base32hex digest can't carry a scheme, a leading '/'
+            # or dot segments: the absolutize when-chain always lands in
+            # its otherwise branch — emit that branch directly
+            base = (
+                f"{cctx.constants.get('$datasetBase')}/data/"
+                f"{cctx.constants.get('$resourceID')}/"
+            )
+            return ValueExpr(F.concat(F.lit(base), digest), dtype="string")
         # templated IRI (absolute, CURIE, or relative after expansion)
-        strs = _pattern_strings(ref, cctx)
-        expanded = strs.map_elements(
-            lambda c: runtime_curie_expand(c, dict(cctx.namespaces))
+        strs, suffix_free, statics = _pattern_strings(ref, cctx,
+                                                      with_meta=True)
+        # CURIE expansion is the identity when (a) no namespaces are
+        # declared, or (b) a literal segment carries a character the
+        # anchored CURIE pattern can never contain (e.g. '/') and no
+        # suffix strip could have removed that segment — fold it away
+        curie_identity = (not cctx.namespaces) or (
+            suffix_free and any(
+                t is not None and _CURIE_BREAK_RX.search(t)
+                for t in statics)
         )
-        out = _absolutize(replace(expanded, form="native", dtype="string"),
-                          cctx)
+        if curie_identity:
+            expanded = strs
+        else:
+            expanded = strs.map_elements(
+                lambda c: runtime_curie_expand(c, dict(cctx.namespaces))
+            )
+        # the absolutize when-chain is the identity when the value
+        # provably starts with a literal scheme prefix
+        head = statics[0] if statics else None
+        if (curie_identity and suffix_free and head is not None
+                and _SCHEME_RX.match(head)):
+            out = replace(expanded, form="native", dtype="string")
+        else:
+            out = _absolutize(
+                replace(expanded, form="native", dtype="string"), cctx)
         # an EMPTY expansion falls back to {base}/data/{resourceID}
         # (template_support.py:163-164) — it does not drop the row
         default = (

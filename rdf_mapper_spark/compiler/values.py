@@ -206,8 +206,15 @@ def wrap_native_string(col: Column, pattern_type: str | None,
 
 
 def to_terms(ve: ValueExpr, pattern_type: str | None,
-             namespaces: dict[str, str]) -> ValueExpr:
-    """Finalize a value expr to term struct(s)."""
+             namespaces: dict[str, str],
+             suffix_free: bool = False) -> ValueExpr:
+    """Finalize a value expr to term struct(s).
+
+    ``suffix_free=True`` asserts (statically proven by the caller via
+    _template_safety) that no producible value can match the lang-tag or
+    datatype suffix regexes — the wrap_native_string re-parse is then the
+    identity plain-literal branch and its 6 regex evaluations per value
+    are skipped."""
     if ve.form == "term":
         return ve
 
@@ -223,6 +230,17 @@ def to_terms(ve: ValueExpr, pattern_type: str | None,
             )
 
         out = ve.map_elements(typed)
+        return replace(out, form="term")
+
+    if suffix_free and pattern_type is None:
+        # neither suffix regex can match -> wrap_native_string always takes
+        # the plain-literal branch; NULL maps to a NULL struct exactly as
+        # the when(col.isNull(), null_term) head branch does
+        out = ve.map_elements(
+            lambda c: F.when(
+                c.isNotNull(),
+                term_struct("literal", c.cast("string"), None, None))
+        )
         return replace(out, form="term")
 
     out = ve.map_elements(
