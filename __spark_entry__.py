@@ -93,12 +93,24 @@ FLAGSHIP_SPEC = {
 
 
 def q_kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flagship_quads(spark, sf_dir, dedup=True)
+
+
+def _flagship_quads(spark: SparkSession, sf_dir: str,
+                    dedup: bool = True) -> DataFrame:
+    """Flagship engine output.  ``dedup=False`` skips the engine's final
+    set-dedup shuffle — for consumers whose own result is provably
+    multiset-insensitive (a trailing SELECT DISTINCT, a min()-style
+    aggregate, or a .distinct() edge projection), running the BGP over
+    the raw emission yields the identical result set while every
+    pattern subtree drops one exchange (guide §2.4: remove shuffles
+    outright)."""
     from rdf_mapper_spark.engine import MapperEngine
     from rdf_mapper_spark.spec import MappingSpec
 
     docs = _t(spark, sf_dir, "documents")
     engine = MapperEngine(MappingSpec(FLAGSHIP_SPEC, auto_declare=False))
-    return engine.apply(docs, file_name="documents")
+    return engine.apply(docs, file_name="documents", dedup=dedup)
 
 
 def _oracle_kg_flagship() -> str:
@@ -126,12 +138,12 @@ def q_kg_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     join strategy; no Python, no interpreter loop."""
     from rdf_mapper_spark.query import bgp_query
 
-    quads = q_kg_flagship(spark, sf_dir)
-    # no materialize: the engine emits quads as a UNION of per-property
-    # projections with literal p, so each pattern's p=const filter folds
-    # non-matching branches to empty — Catalyst leaves ~1-2 cheap scans
-    # per pattern, cheaper than eagerly checkpointing 1.7M quads
-    # (measured: materialize=True is ~2x slower cold here)
+    # dedup=False: bgp_query applies SELECT DISTINCT over the solution
+    # variables, so the engine's set-dedup shuffle under every pattern
+    # subtree is redundant for this query's result set (equivalence
+    # oracle-checked); no materialize: each pattern's p=const filter
+    # folds non-matching emission branches to empty
+    quads = _flagship_quads(spark, sf_dir, dedup=False)
     return bgp_query(quads, [
         ("?d", RDF_TYPE, KGB + "/def/Document"),
         ("?d", DCT + "language", "en"),
@@ -203,7 +215,9 @@ def q_kg_entity_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     from rdf_mapper_spark.query import entity_table
 
-    quads = q_kg_flagship(spark, sf_dir)
+    # dedup=False: min()-conditional aggregates are multiset-insensitive,
+    # so the engine's set-dedup shuffle is redundant here
+    quads = _flagship_quads(spark, sf_dir, dedup=False)
     return entity_table(quads, {
         "lang": DCT + "language",
         "source": KGB + "/def/source",
@@ -310,7 +324,8 @@ def q_kg_path_cites(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "parent", (F.col("doc_id") / 2).cast("long"))
     engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
-    quads = engine.apply(docs, file_name="documents")
+    # dedup=False: path_edges() distincts the (src, dst) projection
+    quads = engine.apply(docs, file_name="documents", dedup=False)
     return path_query(quads, KGB + "/def/cites", max_hops=3)
 
 
@@ -346,7 +361,8 @@ def q_kg_path_related(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "parent", (F.col("doc_id") / 2).cast("long"))
     engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
-    quads = engine.apply(docs, file_name="documents")
+    # dedup=False: path_edges() distincts the (src, dst) projection
+    quads = engine.apply(docs, file_name="documents", dedup=False)
     p = path_edges(quads, KGB + "/def/cites")
     return path_closure(path_alt(p, path_inv(p)), max_hops=2)
 
@@ -382,7 +398,8 @@ def q_kg_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "parent", (F.col("doc_id") / 2).cast("long"))
     engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
-    quads = engine.apply(docs, file_name="documents")
+    # dedup=False: path_edges() distincts the (src, dst) projection
+    quads = engine.apply(docs, file_name="documents", dedup=False)
     return path_query(quads, KGB + "/def/cites", max_hops=None)
 
 
@@ -484,7 +501,8 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "parent", (F.col("doc_id") / 2).cast("long"))
     engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
-    quads = engine.apply(docs, file_name="documents")
+    # dedup=False: path_edges() distincts the (src, dst) projection
+    quads = engine.apply(docs, file_name="documents", dedup=False)
     return sparql(quads, f"""
         PREFIX kg: <{KGB}/def/>
         SELECT ?src ?dst WHERE {{ ?src kg:cites+ ?dst }}""")
@@ -2865,7 +2883,9 @@ def q_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     store of the flagship graph with fr documents' chars redacted."""
     from rdf_mapper_spark.query import update_where
 
-    quads = q_kg_flagship(spark, sf_dir)
+    # dedup=False: update_where's INSERT branch ends in .distinct() over
+    # the whole post-update store, which subsumes the engine dedup
+    quads = _flagship_quads(spark, sf_dir, dedup=False)
     return update_where(
         quads,
         [("?d", DCT + "language", "fr"),
@@ -2934,7 +2954,9 @@ def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python, no interpreter."""
     from rdf_mapper_spark.query import construct
 
-    quads = q_kg_flagship(spark, sf_dir)
+    # dedup=False: CONSTRUCT's instantiate() ends in .distinct(), so the
+    # engine's set-dedup shuffle under each pattern is redundant
+    quads = _flagship_quads(spark, sf_dir, dedup=False)
     corpus = KGB + "/data/corpus/en"
     return construct(
         quads,
@@ -3181,7 +3203,9 @@ def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(KGB + "/def/flag").alias("p"),
         F.lit("literal").alias("ok"), F.lit("big").alias("o"),
         null.alias("odt"), null.alias("olg"))
-    quads = q_kg_flagship(spark, sf_dir).unionByName(flag)
+    # dedup=False: the trailing SELECT DISTINCT dedups solutions, so
+    # input quad multiplicity cannot change the result set
+    quads = _flagship_quads(spark, sf_dir, dedup=False).unionByName(flag)
     return bgp_query(
         quads,
         [("?d", RDF_TYPE, KGB + "/def/Document"),
@@ -3207,7 +3231,9 @@ def q_kg_bgp_values_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived column over the bound vars inside whole-stage codegen."""
     from rdf_mapper_spark.query import bgp_query
 
-    quads = q_kg_flagship(spark, sf_dir)
+    # dedup=False: SELECT DISTINCT over the bound vars absorbs input
+    # quad multiplicity
+    quads = _flagship_quads(spark, sf_dir, dedup=False)
     return bgp_query(
         quads,
         [("?d", RDF_TYPE, KGB + "/def/Document"),
@@ -3247,7 +3273,8 @@ def q_kg_bgp_exists_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(KGB + "/def/flag").alias("p"),
         F.lit("literal").alias("ok"), F.lit("big").alias("o"),
         null.alias("odt"), null.alias("olg"))
-    quads = q_kg_flagship(spark, sf_dir).unionByName(flag)
+    # dedup=False: DISTINCT + semi/anti joins are multiset-insensitive
+    quads = _flagship_quads(spark, sf_dir, dedup=False).unionByName(flag)
     return bgp_query(
         quads,
         [("?d", RDF_TYPE, KGB + "/def/Document"),
