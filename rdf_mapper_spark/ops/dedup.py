@@ -156,27 +156,26 @@ def _minhash_fn(i: int):
 
 def lsh_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
     """Band the signature -> (id, band, bucket). Bucket = md5 of the band
-    slice, so the groupBy key space is uniform."""
-    rows_per_band = None
-    out = signatures
+    slice, so the groupBy key space is uniform.
+
+    ONE posexplode projection, not a union of per-band selects: a union
+    re-evaluates the signature subtree (the expensive per-shingle md5
+    chain, when fused with minhash_signature) once per band — the
+    explode form evaluates it once per row (guide §2.3: don't compute
+    things you throw away)."""
     sig_len_col = F.size("sig")
-    # derive rows-per-band from the first row's signature length lazily:
+    # derive rows-per-band from the row's signature length lazily:
     # signatures are fixed-length arrays built by minhash_signature
     def band_bucket(b: int) -> Column:
         start = F.lit(b).cast("int") * (sig_len_col / F.lit(bands)).cast("int") + 1
         width = (sig_len_col / F.lit(bands)).cast("int")
         return F.md5(F.array_join(F.slice(F.col("sig"), start, width), "|"))
 
-    bucket_rows = [
-        out.select(
-            "id", F.lit(b).alias("band"), band_bucket(b).alias("bucket")
-        )
-        for b in range(bands)
-    ]
-    result = bucket_rows[0]
-    for r in bucket_rows[1:]:
-        result = result.unionByName(r)
-    return result
+    return signatures.select(
+        "id",
+        F.posexplode(F.array(*[band_bucket(b) for b in range(bands)]))
+        .alias("band", "bucket"),
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
@@ -189,9 +188,31 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     with Jaccard j collides with prob 1-(1-j^r)^b). The bucket-join is the
     only shuffle; the band id inside the key splits hot content across
     bands."""
-    sigs = minhash_signature(docs, num_hashes=num_hashes, n=n,
-                             text_col=text_col, id_col=id_col)
-    buckets = lsh_buckets(sigs, bands=bands)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), n).alias("sh"),
+    )
+    if verify_threshold is not None:
+        # the shingle arrays feed BOTH the signature chain and the
+        # pairwise verifier (twice, once per join side): materialize them
+        # once instead of re-deriving the n-gram chain 3x.  At corpus
+        # scale the localCheckpoint becomes a durable shingle table —
+        # same one-pass property.
+        base = base.withColumn("sz", F.size("sh")) \
+            .localCheckpoint(eager=True)
+
+    def _sig(shv: Column) -> Column:
+        return F.array(*[
+            F.array_min(F.transform(shv, _minhash_fn(i)))
+            for i in range(num_hashes)
+        ])
+
+    sigs = base.select(
+        "id", F.element_at(F.transform(F.array("sh"), _sig), 1).alias("sig"))
+    # banded keys are 4 tiny rows per doc; materializing them makes the
+    # self-join read them twice instead of running the per-shingle md5
+    # signature chain once per side
+    buckets = lsh_buckets(sigs, bands=bands).localCheckpoint(eager=True)
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
@@ -201,9 +222,27 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     )
     if verify_threshold is None:
         return cand
-    exact = jaccard_pairs(docs, verify_threshold, n=n, text_col=text_col,
-                          id_col=id_col)
-    return cand.join(exact, ["id_a", "id_b"], "inner")
+    # verify candidates DIRECTLY against the stored shingle sets (the
+    # exact formula of jaccard_pairs, applied per candidate pair) instead
+    # of computing the full inverted-index all-pairs join and
+    # intersecting: identical result set — a candidate pair passes iff
+    # its exact Jaccard >= threshold, and threshold > 0 implies any
+    # passing pair shares a shingle — at candidate-set cost, not
+    # shared-shingle-pair cost.
+    x = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                    F.col("sz").alias("sz_a"))
+    y = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                    F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - inter
+    ).cast("double")
+    return (
+        cand.join(x, "id_a").join(y, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

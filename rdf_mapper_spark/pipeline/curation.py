@@ -77,7 +77,14 @@ def curate_corpus(docs: DataFrame, fractions: dict[str, float],
             connected_components,
         )
 
-        deduped = deduped.localCheckpoint(eager=True)
+        # respread before materializing: AQE coalesces the dedup-window
+        # exchange by BYTES, but the near-dup stage's per-row cost
+        # (shingle chains, minhash signatures) is orders of magnitude
+        # above a byte-proportional estimate — a bytes-tiny survivor set
+        # would otherwise funnel the whole signature computation through
+        # 1-4 tasks
+        dp = deduped.sparkSession.sparkContext.defaultParallelism
+        deduped = deduped.repartition(dp).localCheckpoint(eager=True)
         pairs = pairs_fn(deduped)
         edges = pairs.select(F.col("id_a").alias("src"),
                              F.col("id_b").alias("dst"))

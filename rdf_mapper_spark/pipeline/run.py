@@ -221,13 +221,18 @@ def run_pipeline(
     n_pages = n_links = None
     if workdir is None:
         extracted = extracted.persist()
-        n_pages = extracted.count()
     links = runner.run(
         "link", lambda: link_entities(extracted, aliases), fingerprint=fp
     )
     if workdir is None:
         links = links.persist()
+        # ONE materialization job: computing links reads the extracted
+        # cache through (populating it partition by partition), so the
+        # extract and link stages fuse into a single pipelined pass; the
+        # page count afterwards is a pure cache scan.  Counting extracted
+        # first would add a full job barrier between the two stages.
         n_links = links.count()
+        n_pages = extracted.count()
     page_q = runner.run(
         "triples_pages",
         lambda: build_quads_split(extracted, links)[0], fingerprint=fp,
