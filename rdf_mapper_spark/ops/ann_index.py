@@ -187,6 +187,11 @@ def ivf_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
     q_c = queries.select(
         "qid", "qvec", F.explode(F.expr(probe_sql)).alias("cell"),
     )
+    # materialize the (query-batch-sized) probe frame once: the probe
+    # collect and the candidate join would otherwise each re-analyze and
+    # re-run the full centroid-literal expression tree — a fixed driver
+    # cost proportional to n_cells x dim per plan build
+    q_c = q_c.localCheckpoint(eager=True)
     # distinct probe cells: <= n_cells rows however large the query batch
     probe_cells = [r.cell for r in q_c.select("cell").distinct().collect()]
     index = _read_index(spark, path).where(F.col("cell").isin(probe_cells))
@@ -260,6 +265,11 @@ def lsh_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
         q_b = qbase.select("qid", "qvec", F.explode(probes).alias("bucket"))
     else:
         q_b = qbase.select("qid", "qvec", F.col("b0").alias("bucket"))
+    # materialize the probe frame once (see ivf_topk_indexed): the
+    # n_tables x n_planes x dim hyperplane-literal tree is analyzed and
+    # evaluated a single time instead of once for the probe collect and
+    # again for the candidate join
+    q_b = q_b.localCheckpoint(eager=True)
     probe_buckets = [r.bucket
                      for r in q_b.select("bucket").distinct().collect()]
     index = _read_index(spark, path).where(
@@ -427,6 +437,9 @@ def ivfpq_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
     q_c = queries.select(
         "qid", "qvec", F.explode(F.expr(probe_sql)).alias("cell"),
     )
+    # one evaluation of the centroid-literal probe tree (see
+    # ivf_topk_indexed)
+    q_c = q_c.localCheckpoint(eager=True)
     probe_cells = [r.cell for r in q_c.select("cell").distinct().collect()]
     index = _read_index(spark, path).where(F.col("cell").isin(probe_cells))
     cand = index.join(F.broadcast(q_c), "cell").where(

@@ -496,24 +496,30 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     n_planes down (or union several seeded plane sets) for recall, up for
     cost. `embedding_near_dups_exact` is the recall verifier."""
     from rdf_mapper_spark.ops.similarity import (
-        cosine_expr,
+        dot_expr,
         hyperplanes,
         lsh_bucket_expr,
+        norm_expr,
     )
 
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
+    # per-vector norm computed once and carried through the join (see
+    # semantic_dedup_pairs — cosine_expr would re-fold both norms per
+    # candidate pair; identical floats, deterministic expression)
     bucketed = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
     )
     a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                        "bucket")
+                        F.col("nrm").alias("nrm_a"), "bucket")
     b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                        "bucket")
+                        F.col("nrm").alias("nrm_b"), "bucket")
     pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    cos = dot_expr(F.col("v_a"), F.col("v_b")) / (
+        F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.withColumn("cosine", F.round(cos, 4))
         .where(F.col("cosine") >= threshold)
@@ -762,27 +768,37 @@ def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     """
     from rdf_mapper_spark.ops.similarity import (
         centroids,
-        cosine_expr,
+        dot_expr,
         ivf_cell_expr,
+        norm_expr,
     )
 
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     if cells is None:
         cells = centroids(dim, n_cells, seed)
+    # norm precomputed ONCE PER VECTOR and carried through the join:
+    # cosine_expr per pair would re-run both interpreted 64-element norm
+    # folds for every candidate pair (O(pairs) instead of O(vectors) —
+    # 2/3 of the per-pair arithmetic); same floats, same rounding, since
+    # norm_expr over the same vector is deterministic
     celled = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         ivf_cell_expr(F.col(vec_col), cells).alias("cell"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
     )
     if max_cell is not None:
         ok = (celled.groupBy("cell").count()
               .where(F.col("count") <= max_cell).select("cell"))
         celled = celled.join(F.broadcast(ok), "cell")
     a = celled.select(F.col("id").alias("id_a"),
-                      F.col("v").alias("v_a"), "cell")
+                      F.col("v").alias("v_a"),
+                      F.col("nrm").alias("nrm_a"), "cell")
     b = celled.select(F.col("id").alias("id_b"),
-                      F.col("v").alias("v_b"), "cell")
-    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+                      F.col("v").alias("v_b"),
+                      F.col("nrm").alias("nrm_b"), "cell")
+    cos = dot_expr(F.col("v_a"), F.col("v_b")) / (
+        F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(cos, 4))
