@@ -562,10 +562,15 @@ def copy_graph(quads: DataFrame, src: str | None, dst: str) -> DataFrame:
         quads.where(src_m).withColumn("g", F.lit(dst)))
 
 
-def move_graph(quads: DataFrame, src: str, dst: str) -> DataFrame:
-    """SPARQL Update `MOVE GRAPH src TO dst`: COPY then drop src."""
-    return copy_graph(quads, src, dst).where(F.col("g").isNull()
-                                             | (F.col("g") != src))
+def move_graph(quads: DataFrame, src: str | None, dst: str) -> DataFrame:
+    """SPARQL Update `MOVE GRAPH src TO dst`: COPY then drop src
+    (src=None moves the default graph — the drop must then be null-safe:
+    a plain ``g != NULL`` evaluates NULL for every named graph and would
+    silently drop them all)."""
+    out = copy_graph(quads, src, dst)
+    if src is None:
+        return out.where(F.col("g").isNotNull())
+    return out.where(F.col("g").isNull() | (F.col("g") != src))
 
 
 def clear_graph(quads: DataFrame, graph: str | None) -> DataFrame:
@@ -575,16 +580,19 @@ def clear_graph(quads: DataFrame, graph: str | None) -> DataFrame:
     return quads.where(~F.coalesce(m, F.lit(False)))
 
 
-def bgp_union(*solutions: DataFrame) -> DataFrame:
+def bgp_union(*solutions: DataFrame, distinct: bool = True) -> DataFrame:
     """SPARQL UNION over solution sets: columns align by variable name,
-    variables absent from one branch bind NULL (allowMissingColumns),
-    set semantics over the combined bindings."""
+    variables absent from one branch bind NULL (allowMissingColumns).
+    ``distinct=True`` applies set semantics (SELECT DISTINCT reading);
+    pass False on the aggregate/multiset path — SPARQL UNION is a
+    multiset union, and aggregates over ``{ A } UNION { B }`` must see
+    duplicate bindings."""
     if not solutions:
         raise ValueError("empty UNION")
     out = solutions[0]
     for nxt in solutions[1:]:
         out = out.unionByName(nxt, allowMissingColumns=True)
-    return out.distinct()
+    return out.distinct() if distinct else out
 
 
 def path_query(quads: DataFrame, pred: str, max_hops: int | None,

@@ -410,7 +410,9 @@ class _Parser:
                 sub = self.group()
                 if (sub.optionals or sub.filters or sub.union_branches
                         or sub.minus or sub.subselects
-                        or sub.path_triples):
+                        or sub.path_triples or sub.binds or sub.values
+                        or sub.exists or sub.not_exists
+                        or sub.graph is not None):
                     raise ValueError("OPTIONAL supports plain pattern "
                                      "groups")
                 g.optionals.append(sub.patterns)
@@ -453,14 +455,40 @@ class _Parser:
                 g.minus.append(self.group())
             elif self.at_kw("GRAPH"):
                 self.next()
+                # the graph scope is GROUP-wide in this evaluator, so a
+                # GRAPH clause must be the only element of its group
+                # (otherwise sibling triples would silently evaluate
+                # against the named graph too) and a group can hold at
+                # most one
+                if g.graph is not None:
+                    raise ValueError(
+                        "multiple GRAPH clauses in one group are not "
+                        "supported — wrap each in its own group")
+                if (g.patterns or g.path_triples or g.optionals
+                        or g.filters or g.binds or g.values or g.exists
+                        or g.not_exists or g.minus or g.union_branches
+                        or g.subselects):
+                    raise ValueError(
+                        "GRAPH must be the only element of its group — "
+                        "wrap sibling patterns in their own group")
                 g.graph = self.term()   # '?var' passes through verbatim
                 inner = self.group()
-                if inner.union_branches or inner.subselects:
-                    raise ValueError("GRAPH wraps plain pattern groups")
+                if (inner.union_branches or inner.subselects
+                        or inner.binds or inner.values or inner.exists
+                        or inner.not_exists or inner.minus
+                        or inner.graph is not None):
+                    raise ValueError("GRAPH wraps plain pattern groups "
+                                     "(with OPTIONAL/FILTER)")
                 g.patterns += inner.patterns
                 g.path_triples += inner.path_triples
                 g.optionals += inner.optionals
                 g.filters += inner.filters
+                while self.peek() == ".":
+                    self.next()
+                if self.peek() != "}":
+                    raise ValueError(
+                        "GRAPH must be the only element of its group — "
+                        "wrap trailing patterns in their own group")
             elif self.peek() == "{":                  # group -> UNION
                 branch = self.group()
                 branches = [branch]
@@ -468,7 +496,16 @@ class _Parser:
                     self.next()
                     branches.append(self.group())
                 if len(branches) == 1:
-                    # plain nested group: merge
+                    # plain nested group: merge.  Fields the merge does
+                    # not propagate would silently change the query's
+                    # meaning — fail loudly instead.
+                    if (branch.binds or branch.values or branch.exists
+                            or branch.not_exists or branch.minus
+                            or branch.graph is not None):
+                        raise ValueError(
+                            "nested group uses BIND/VALUES/EXISTS/MINUS/"
+                            "GRAPH, which do not merge into the "
+                            "enclosing group — restructure the query")
                     g.patterns += branch.patterns
                     g.path_triples += branch.path_triples
                     g.optionals += branch.optionals
@@ -485,7 +522,10 @@ class _Parser:
 
     def _plain_patterns(self, ctx: str) -> list[tuple[str, str, str]]:
         sub = self.group()
-        if sub.path_triples or sub.union_branches or sub.subselects:
+        if (sub.path_triples or sub.union_branches or sub.subselects
+                or sub.filters or sub.optionals or sub.binds
+                or sub.values or sub.exists or sub.not_exists
+                or sub.minus or sub.graph is not None):
             raise ValueError(f"{ctx} supports plain pattern groups")
         return sub.patterns
 
@@ -731,9 +771,12 @@ def _eval_group(quads: DataFrame, g: _Group,
     """Evaluate one group graph pattern to a solutions DataFrame."""
     initials: list[DataFrame] = []
     if g.union_branches:
+        # propagate the caller's multiset/set reading: aggregates must
+        # see duplicate bindings from { A } UNION { B } (SPARQL multiset
+        # union); under distinct=True the final DISTINCT absorbs either
         initials.append(bgp_union(
             *[_eval_group(quads, b, stats, distinct=False)
-              for b in g.union_branches]))
+              for b in g.union_branches], distinct=distinct))
     for sq in g.subselects:
         initials.append(_eval_select(quads, sq, stats))
     for i, pt in enumerate(g.path_triples):
@@ -917,7 +960,12 @@ def sparql_update(quads: DataFrame, text: str) -> DataFrame:
             .withColumnRenamed("s", "__ds") \
             .withColumnRenamed("p", "__dp") \
             .withColumnRenamed("o", "__do")
-        cond = ((quads["s"] == dels["__ds"])
+        # un-GRAPHed DELETE DATA targets the DEFAULT graph only (the
+        # same scope update_where's null-safe g key applies) — without
+        # the g filter the anti-join would delete matching triples from
+        # every named graph too
+        cond = (quads["g"].isNull()
+                & (quads["s"] == dels["__ds"])
                 & (quads["p"] == dels["__dp"])
                 & (quads["o"] == dels["__do"]))
         return quads.join(dels, cond, "left_anti")

@@ -437,3 +437,60 @@ def test_nested_group_merges(spark):
             ?d <lang> "en" .
         }""")
     assert {r.d for r in out.collect()} == {"d1", "d3"}
+
+
+# --- round-6 correctness fixes (ADVICE items) ----------------------------
+
+def test_move_default_keeps_named_graphs(spark):
+    q = _quads(spark, [("s1", "p", "v1")]).unionByName(
+        _quads(spark, [("s2", "p", "v2")], g="g1"))
+    out = sparql_update(q, "MOVE DEFAULT TO <g2>")
+    rows = {(r.g, r.s, r.o) for r in out.collect()}
+    # default cleared, named graph g1 untouched, copy landed in g2
+    assert rows == {("g1", "s2", "v2"), ("g2", "s1", "v1")}
+
+
+def test_delete_data_scopes_to_default_graph(spark):
+    q = _quads(spark, [("s1", "p", "v")]).unionByName(
+        _quads(spark, [("s1", "p", "v")], g="g1"))
+    out = sparql_update(q, 'DELETE DATA { <s1> <p> "v" }')
+    rows = {(r.g, r.s) for r in out.collect()}
+    assert rows == {("g1", "s1")}  # named-graph copy survives
+
+
+def test_nested_group_with_bind_raises(spark):
+    with pytest.raises(ValueError, match="nested group"):
+        sparql(_docs(spark), """
+            SELECT ?d ?x WHERE {
+                ?d <type> "Doc" .
+                { ?d <src> ?s . BIND(?s AS ?x) }
+            }""")
+
+
+def test_graph_mixed_with_siblings_raises(spark):
+    with pytest.raises(ValueError, match="only element"):
+        sparql(_docs(spark), """
+            SELECT ?d WHERE {
+                ?d <type> "Doc" .
+                GRAPH <g1> { ?d <src> ?s }
+            }""")
+
+
+def test_two_graph_clauses_raise(spark):
+    with pytest.raises(ValueError, match="only element|multiple GRAPH"):
+        sparql(_docs(spark), """
+            SELECT ?d WHERE {
+                GRAPH <g1> { ?d <src> ?s }
+                GRAPH <g2> { ?d <lang> ?l }
+            }""")
+
+
+def test_union_aggregate_keeps_multiset(spark):
+    # d1 matches both branches: a set-union would count it once, the
+    # SPARQL multiset union counts it per branch
+    out = sparql(_docs(spark), """
+        SELECT (COUNT(*) AS ?n) WHERE {
+            { ?d <lang> "en" } UNION { ?d <src> "a" }
+        } GROUP BY ?d""")
+    counts = sorted(r.n for r in out.collect())
+    assert counts == [1, 2, 2]  # d4: en only; d1, d3: both branches
