@@ -58,8 +58,12 @@ def build_query_parser() -> argparse.ArgumentParser:
     p.add_argument("sparql", help="SPARQL query text (or @file to read)")
     p.add_argument("--format", default="csv", choices=["csv", "json"],
                    help="solution output format for SELECT")
-    p.add_argument("--limit", type=int, default=None,
-                   help="cap printed solutions (display only)")
+    p.add_argument("--limit", type=int, default=10_000,
+                   help="cap printed solutions (default 10000; a SELECT "
+                        "over a billion-solution store must not collect "
+                        "unbounded to the driver)")
+    p.add_argument("--no-limit", action="store_true",
+                   help="print every solution (explicit escape hatch)")
     p.add_argument("--master", default="local[*]")
     return p
 
@@ -100,8 +104,8 @@ def query_main(argv: list[str]) -> int:
     if set(cols) >= {"s", "p", "o", "ok"}:        # CONSTRUCT / DESCRIBE
         sys.stdout.write(turtle_string(out, {}))
         return 0
-    rows = out.limit(args.limit).collect() if args.limit \
-        else out.collect()
+    rows = (out.collect() if args.no_limit
+            else out.limit(args.limit).collect())
     if args.format == "json":
         import json
         for r in rows:

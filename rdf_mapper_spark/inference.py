@@ -85,10 +85,13 @@ def _distributed_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         nxt = closure.unionByName(hop).where(F.col("sub") != F.col("sup")) \
             .distinct().localCheckpoint()
         if nxt.count() == closure.count():
-            closure = nxt
-            break
+            return nxt
         closure = nxt
-    return closure
+    # matching path_closure's contract: an incomplete closure must raise,
+    # not silently return (path doubling converges in O(log diameter)
+    # rounds, so hitting this means a pathological 2^max_iter-step chain)
+    raise RuntimeError(
+        f"TBox closure did not converge within {max_iter} doubling rounds")
 
 
 def extract_tbox(quads: DataFrame, tbox_threshold: int = 100_000

@@ -347,6 +347,13 @@ def describe(quads: DataFrame, subjects: DataFrame | list[str],
     """SPARQL DESCRIBE (concise-bounded-ish): every quad whose subject
     OR object is one of the requested IRIs.
 
+    Graph convention (documented deviation from bgp_query): DESCRIBE is
+    a resource-lookup, so ``graph=None`` means DATASET-WIDE — the
+    description of a resource includes its quads in every graph — while
+    ``bgp_query(graph=None)`` matches the default graph only (the
+    SPARQL dataset reading for patterns).  Pass an explicit graph IRI
+    to restrict the description.
+
     DESCRIBE subject sets are query-sized by nature, so a DataFrame
     input (one `iri` column — e.g. a `bgp_query(...).select('d')`
     result) is COLLECTED when it fits `collect_threshold` and pushed as

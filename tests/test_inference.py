@@ -172,3 +172,15 @@ def test_sameas_keep_links_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_distributed_closure_raises_on_non_convergence(spark):
+    # a 5-link chain cannot close in one doubling round
+    from rdf_mapper_spark.inference import _distributed_closure
+
+    edges = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(5)], "sub string, sup string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _distributed_closure(edges, max_iter=1)
+    out = _distributed_closure(edges, max_iter=5)
+    assert out.count() == 5 + 4 + 3 + 2 + 1

@@ -494,3 +494,16 @@ def test_union_aggregate_keeps_multiset(spark):
         } GROUP BY ?d""")
     counts = sorted(r.n for r in out.collect())
     assert counts == [1, 2, 2]  # d4: en only; d1, d3: both branches
+
+
+def test_describe_is_dataset_wide_by_default(spark):
+    # documented convention: DESCRIBE with no graph argument covers every
+    # graph (resource lookup), unlike bgp_query(graph=None) = default only
+    from rdf_mapper_spark.query import describe
+
+    q = _quads(spark, [("s1", "p", "v1")]).unionByName(
+        _quads(spark, [("s1", "q", "v2")], g="g1"))
+    rows = {(r.g, r.p) for r in describe(q, ["s1"]).collect()}
+    assert rows == {(None, "p"), ("g1", "q")}
+    rows_g = {(r.g, r.p) for r in describe(q, ["s1"], graph="g1").collect()}
+    assert rows_g == {("g1", "q")}
