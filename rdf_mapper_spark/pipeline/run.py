@@ -190,6 +190,20 @@ def run_pipeline(
     fp = (_input_fingerprint(pages, aliases, PIPELINE_SPEC)
           if workdir is not None else "")
 
+    # the canonical mapping (alias sameAs edges -> connected components ->
+    # driver union-find) depends ONLY on the alias dictionary: submit it
+    # from a driver thread so its jobs back-fill the cluster while the
+    # extract+link pass runs (guide §2.6 — overlap independent jobs).
+    # Fused mode only: the checkpointed path re-reads stages from parquet
+    # and resumability bookkeeping stays strictly sequential.
+    mapping_fut = None
+    if workdir is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        mapping_fut = _pool.submit(
+            lambda: canonical_mapping(sameas_edges_from_aliases(aliases)))
+
     extracted = runner.run(
         "extract",
         lambda: with_extracted_text(pages).select(
@@ -246,8 +260,10 @@ def run_pipeline(
         # only the entity-linked half can contain rewritable IRIs or
         # duplicates; the page half is distinct by construction and joins
         # the output untouched (no rewrite joins, no dedup shuffle)
-        edges = sameas_edges_from_aliases(aliases)
-        mapping = canonical_mapping(edges)
+        if mapping_fut is not None:
+            mapping = mapping_fut.result()
+        else:
+            mapping = canonical_mapping(sameas_edges_from_aliases(aliases))
         rewritten = rewrite_canonical(dyn_q, mapping)
         from rdf_mapper_spark.quads import union_quads
 
