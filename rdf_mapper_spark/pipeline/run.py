@@ -262,6 +262,7 @@ def run_pipeline(
         # the output untouched (no rewrite joins, no dedup shuffle)
         if mapping_fut is not None:
             mapping = mapping_fut.result()
+            _pool.shutdown(wait=False)
         else:
             mapping = canonical_mapping(sameas_edges_from_aliases(aliases))
         rewritten = rewrite_canonical(dyn_q, mapping)
