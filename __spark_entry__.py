@@ -927,9 +927,12 @@ _LINK_ALIASES = ["spark", "table", "scan", "query", "join", "merge"]
 
 def q_link_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    aliases = spark.createDataFrame(
+    from rdf_mapper_spark.localrel import local_df
+
+    aliases = local_df(
+        spark,
         [(a, f"http://kg.example.org/entity/{a}") for a in _LINK_ALIASES],
-        ["alias", "entity_iri"],
+        "alias string, entity_iri string",
     )
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("mention")
@@ -3044,22 +3047,33 @@ _QUAD_SCHEMA = ("g string, sk string, s string, p string, ok string, "
                 "o string, odt string, olg string")
 
 
-def _inference_fixture_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic TBox + customer-derived ABox for the inference
-    queries: a 10-deep class chain Tier0 subClassOf ... Tier9, a
-    2-level property hierarchy with domain/range, customers typed by
-    custkey % 10, and localPred links to nations for custkey % 4 == 0."""
+def _inference_tbox_rows() -> list[tuple]:
+    """The fixture ontology as driver rows (shared by the fixture frame
+    and the precomputed-tbox fast path of q_kg_rdfs_inference)."""
     from rdf_mapper_spark.inference import DOMAIN, RANGE, SUBCLASS, SUBPROP
 
-    null = F.lit(None).cast("string")
-    tbox_rows = (
+    return (
         [(None, "iri", f"{_TIER}{i}", SUBCLASS, "iri", f"{_TIER}{i + 1}",
           None, None) for i in range(9)]
         + [(None, "iri", _P_SPEC, SUBPROP, "iri", _P_GEN, None, None),
            (None, "iri", _P_SPEC, DOMAIN, "iri", _TIER + "0", None, None),
            (None, "iri", _P_SPEC, RANGE, "iri", _TIER + "5", None, None)]
     )
-    tbox = spark.createDataFrame(tbox_rows, _QUAD_SCHEMA)
+
+
+def _inference_fixture_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TBox + customer-derived ABox for the inference
+    queries: a 10-deep class chain Tier0 subClassOf ... Tier9, a
+    2-level property hierarchy with domain/range, customers typed by
+    custkey % 10, and localPred links to nations for custkey % 4 == 0."""
+    null = F.lit(None).cast("string")
+    from rdf_mapper_spark.localrel import local_df
+
+    # pure-JVM literal relation, ONE partition: createDataFrame would
+    # spread the dozen rows over defaultParallelism Python-pickled
+    # splits, re-scanned (with a Python worker round-trip each) by every
+    # rule branch of rdfs_materialize
+    tbox = local_df(spark, _inference_tbox_rows(), _QUAD_SCHEMA)
     cust = _t(spark, sf_dir, "customer")
     types = cust.select(
         null.alias("g"), F.lit("iri").alias("sk"),
@@ -3092,8 +3106,15 @@ def q_kg_rdfs_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     quads = _inference_fixture_quads(spark, sf_dir)
     # materialize: the fixture ABox is a computed union re-scanned by
     # every rule branch; one eager checkpoint of ~20k quads beats ~6
-    # re-derivations (measured 12 s -> ~4 s at sf0.1)
-    return rdfs_materialize(quads, materialize=True).select("s", "p", "o")
+    # re-derivations (measured 12 s -> ~4 s at sf0.1).
+    # tbox: the fixture ontology is built from driver rows above, so the
+    # collect job extract_tbox would run over the checkpoint is pure
+    # waste — pass the same pairs directly
+    tbox = {}
+    for _g, _sk, s, p, _ok, o, _odt, _olg in _inference_tbox_rows():
+        tbox.setdefault(p, []).append((s, o))
+    return rdfs_materialize(quads, materialize=True,
+                            tbox=tbox).select("s", "p", "o")
 
 
 def _oracle_kg_rdfs_inference() -> str:

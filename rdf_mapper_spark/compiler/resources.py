@@ -800,9 +800,11 @@ def compile_reconcile(ve: ValueExpr, args: list[Any], cctx: CompileCtx) -> Value
             return F.lit(None).cast("string")
         if use_join:
             alias = f"__rec_lookup_{len(cctx.pending_joins)}"
-            res_df = cctx.df.sparkSession.createDataFrame(
-                list(live.items()),
-                schema=f"__k_{alias} string, {alias} string",
+            from rdf_mapper_spark.localrel import local_df
+
+            res_df = local_df(
+                cctx.df.sparkSession, list(live.items()),
+                f"__k_{alias} string, {alias} string",
             )
             cctx.pending_joins.append((c.cast("string"), res_df, alias))
             return F.col(alias)

@@ -117,14 +117,20 @@ def extract_tbox(quads: DataFrame, tbox_threshold: int = 100_000
 
 
 def _pairs_df(spark, pairs: list[tuple[str, str]], a: str, b: str):
-    return spark.createDataFrame(
-        pairs or [("", "")], f"{a} string, {b} string"
-    ).where(F.col(a) != "" if not pairs else F.lit(True))
+    # pure-JVM literal relation: these frames are built once per rule
+    # and scanned by a broadcast-exchange job each — the classic
+    # createDataFrame path paid a Python worker round-trip per partition
+    # per scan (localrel module docstring)
+    from .localrel import local_df
+
+    return local_df(spark, pairs, f"{a} string, {b} string")
 
 
 def rdfs_materialize(quads: DataFrame, include_asserted: bool = True,
                      tbox_threshold: int = 100_000,
-                     materialize: bool = False) -> DataFrame:
+                     materialize: bool = False,
+                     tbox: dict[str, list[tuple[str, str]]] | None = None,
+                     ) -> DataFrame:
     """Forward-chain rho-df RDFS entailment into explicit quads.
 
     Rules (each ONE broadcast join over the ABox, no fixpoint loop —
@@ -149,11 +155,22 @@ def rdfs_materialize(quads: DataFrame, include_asserted: bool = True,
     branch re-scans the input lineage, so a COMPUTED quad plan (engine
     output, unions) pays ~6x its cost without it.  Stored quad tables
     don't need it — re-scanning parquet is cheap and prunable.
+
+    `tbox` (optional): the schema triples {pred -> [(s, o), ...]} when
+    the caller already holds them on the driver (e.g. the ontology was
+    createDataFrame'd from driver rows in the first place) — skips the
+    extract_tbox collect job.  Must cover exactly the TBox triples
+    present in `quads`; extract_tbox dedups, so pass distinct pairs.
     """
     spark = quads.sparkSession
     if materialize:
         quads = quads.localCheckpoint(eager=True)
-    tbox = extract_tbox(quads, tbox_threshold)
+    if tbox is None:
+        tbox = extract_tbox(quads, tbox_threshold)
+    else:
+        # normalize to extract_tbox's contract: all four keys present,
+        # pairs distinct (extract_tbox collects .distinct())
+        tbox = {p: sorted(set(tbox.get(p, []))) for p in _TBOX_PREDS}
     sp_pairs = _driver_closure(tbox[SUBPROP])
     sc_pairs = _driver_closure(tbox[SUBCLASS])
 
@@ -217,7 +234,9 @@ def rdfs_materialize(quads: DataFrame, include_asserted: bool = True,
     )
     schema = ("g string, sk string, s string, p string, ok string, "
               "o string, odt string, olg string")
-    tbox_inf = spark.createDataFrame(tbox_inf_rows or [], schema)
+    from .localrel import local_df
+
+    tbox_inf = local_df(spark, tbox_inf_rows, schema)
 
     inferred = (prop_inf.unionByName(dom_inf).unionByName(rng_inf)
                 .unionByName(sc_inf).unionByName(tbox_inf))

@@ -114,7 +114,12 @@ def _driver_union_find(spark, edge_rows, node_type=None) -> DataFrame:
     rows = [(n, find(n)) for n in parent]
     nt = node_type or StringType()
     schema = StructType([StructField("node", nt), StructField("comp", nt)])
-    return spark.createDataFrame(rows, schema)
+    # JVM literal/Arrow relation: the mapping is broadcast by every
+    # consumer (rewrite joins, dedup anti-joins) and a python-parallelized
+    # frame pays a Python worker round-trip per partition per scan
+    from rdf_mapper_spark.localrel import local_df
+
+    return local_df(spark, rows, schema)
 
 
 def sameas_edges_from_aliases(aliases: DataFrame) -> DataFrame:

@@ -32,12 +32,17 @@ def quad_schema() -> StructType:
 
 
 def empty_quads(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], quad_schema())
+    from .localrel import local_df
+
+    return local_df(spark, [], quad_schema())
 
 
 def quads_from_rows(spark: SparkSession, rows: list[tuple]) -> DataFrame:
-    """Driver-side constant quads (one-offs, auto-declared vocabulary)."""
-    return spark.createDataFrame(rows, quad_schema())
+    """Driver-side constant quads (one-offs, auto-declared vocabulary).
+    Pure-JVM relation — see localrel module docstring."""
+    from .localrel import local_df
+
+    return local_df(spark, rows, quad_schema())
 
 
 def union_quads(dfs: list[DataFrame]) -> DataFrame:

@@ -285,8 +285,10 @@ def bgp_query(quads: DataFrame, patterns: list[tuple[str, str, str]],
     if values:
         names = [v.lstrip("?") for v in values]
         rows = list(zip(*values.values()))
-        vdf = quads.sparkSession.createDataFrame(
-            rows, ", ".join(f"`__v_{n}` string" for n in names))
+        from .localrel import local_df
+
+        vdf = local_df(quads.sparkSession, rows,
+                       ", ".join(f"`__v_{n}` string" for n in names))
         shared = [n for n in names if n in out.columns]
         fresh = [n for n in names if n not in out.columns]
         if shared:

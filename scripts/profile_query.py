@@ -95,7 +95,7 @@ def main() -> None:
         except KeyError:
             continue
         from datetime import datetime
-        f = "%Y-%m-%dT%H:%M:%S.%f%Z"
+        f = "%Y-%m-%dT%H:%M:%S.%f"
         d1 = datetime.strptime(t1.replace("GMT", ""), f)
         d2 = datetime.strptime(t2.replace("GMT", ""), f)
         jw.append(((d2 - d1).total_seconds(), j["jobId"],
