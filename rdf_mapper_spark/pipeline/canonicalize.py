@@ -38,6 +38,15 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
     """
     spark = edges.sparkSession
     if driver_threshold > 0:
+        # materialize BEFORE the limit-collect probe: executeTake runs
+        # the plan over 1, then 4, 16, ... partitions until the limit is
+        # satisfied, and an under-threshold edge set never satisfies it —
+        # an expensive edges plan (e.g. a cosine/minhash candidate join)
+        # was being re-executed 4-5x per call.  One eager checkpoint
+        # computes it once; the probe jobs then scan stored partitions.
+        # The distributed path below reuses the same materialization for
+        # its src/dst double-scan.
+        edges = edges.localCheckpoint(eager=True)
         sample = edges.limit(driver_threshold + 1).collect()
         if len(sample) <= driver_threshold:
             return _driver_union_find(spark, sample,
