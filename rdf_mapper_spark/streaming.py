@@ -198,7 +198,10 @@ def stream_incremental_kg(
         extracted = with_extracted_text(batch_df).select(
             "url", "warc_ts", F.col("extracted_text").alias("text"), "lang"
         ).persist()
-        extracted.count()
+        # no materialization barrier: the state-write job's concurrent
+        # consumers (page_q, links, urls) populate the cache through the
+        # block manager's per-partition locks — same reasoning and A/B
+        # evidence as the fused batch pipeline (pipeline/run.py)
         links = link_entities(extracted, aliases)
         page_q, dyn_q = build_quads_split(extracted, links)
         dyn = dedup_quads(rewrite_canonical(dyn_q, mapping))
