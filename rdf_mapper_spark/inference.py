@@ -126,6 +126,31 @@ def _pairs_df(spark, pairs: list[tuple[str, str]], a: str, b: str):
     return local_df(spark, pairs, f"{a} string, {b} string")
 
 
+#: Per-rule pair-count cap for compiling a rule as a literal-map lookup
+#: instead of a broadcast join.  `element_at` on a literal map is a
+#: LINEAR scan of the keys per row, so this stays small — real
+#: ontologies past it take the broadcast-join path, whose per-row probe
+#: is O(1).
+_INLINE_RULE_MAX = 64
+
+
+def _rule_lookup(pairs: list[tuple[str, str]]):
+    """(key, value) pairs -> a literal ``map<string, array<string>>``
+    Column: constant-folded by Catalyst, so a rule join against a
+    dictionary-sized driver-held pair list becomes a map-side
+    ``explode(element_at(map, key))`` — zero joins, zero broadcast
+    builds, rows appear exactly once per matching pair (explode of a
+    NULL lookup emits nothing, same as the inner join's miss)."""
+    m: dict[str, list[str]] = {}
+    for k, v in pairs:
+        m.setdefault(k, []).append(v)
+    args = []
+    for k in sorted(m):
+        args.append(F.lit(k))
+        args.append(F.array(*[F.lit(v) for v in sorted(m[k])]))
+    return F.create_map(*args)
+
+
 def rdfs_materialize(quads: DataFrame, include_asserted: bool = True,
                      tbox_threshold: int = 100_000,
                      materialize: bool = False,
@@ -188,42 +213,86 @@ def rdfs_materialize(quads: DataFrame, include_asserted: bool = True,
     cols = ["g", "sk", "s", "p", "ok", "o", "odt", "olg"]
     abox = quads.select(*cols)
 
-    # rdfs7: subPropertyOf — keep object term intact (literal or IRI)
-    sp = _pairs_df(spark, sp_pairs, "sub_p", "sup_p")
-    prop_inf = (
-        abox.join(F.broadcast(sp), abox["p"] == sp["sub_p"])
-        .select("g", "sk", "s", F.col("sup_p").alias("p"),
-                "ok", "o", "odt", "olg")
-        .withColumn("g", null)
-    )
+    def _matches(pairs: list[tuple[str, str]], key_col):
+        """Array of rule consequents for ``key_col`` (empty/NULL = no
+        match) — the literal-map fast path.  Only called for rules under
+        `_INLINE_RULE_MAX` pairs."""
+        if not pairs:
+            return F.lit(None).cast("array<string>")
+        return F.element_at(_rule_lookup(pairs), key_col)
+
+    # rdfs7: subPropertyOf — keep object term intact (literal or IRI).
+    # Dictionary-sized rule tables compile to literal-map explodes (no
+    # broadcast build job, no join — guide §2.4 "remove shuffles
+    # outright"); past _INLINE_RULE_MAX the broadcast join returns.
+    if len(sp_pairs) <= _INLINE_RULE_MAX:
+        prop_inf = abox.select(
+            null.alias("g"), "sk", "s",
+            F.explode(_matches(sp_pairs, F.col("p"))).alias("p"),
+            "ok", "o", "odt", "olg").select(*cols)
+    else:
+        sp = _pairs_df(spark, sp_pairs, "sub_p", "sup_p")
+        prop_inf = (
+            abox.join(F.broadcast(sp), abox["p"] == sp["sub_p"])
+            .select("g", "sk", "s", F.col("sup_p").alias("p"),
+                    "ok", "o", "odt", "olg")
+            .withColumn("g", null)
+        )
     p1 = abox.unionByName(prop_inf)
 
     # rdfs2/rdfs3: domain & range -> rdf:type triples
-    dom = _pairs_df(spark, sorted(set(tbox[DOMAIN])), "dom_p", "dom_c")
-    rng = _pairs_df(spark, sorted(set(tbox[RANGE])), "rng_p", "rng_c")
-    dom_inf = (
-        p1.join(F.broadcast(dom), p1["p"] == dom["dom_p"])
-        .select(typed(F.col("s"), F.col("sk"), F.col("dom_c")).alias("q"))
-        .select("q.*")
-    )
-    rng_inf = (
-        p1.where(F.col("ok") == "iri")
-        .join(F.broadcast(rng), p1["p"] == rng["rng_p"])
-        .select(typed(F.col("o"), F.lit("iri"), F.col("rng_c")).alias("q"))
-        .select("q.*")
-    )
+    dom_pairs = sorted(set(tbox[DOMAIN]))
+    rng_pairs = sorted(set(tbox[RANGE]))
+    if len(dom_pairs) <= _INLINE_RULE_MAX:
+        dom_inf = (
+            p1.select("s", "sk",
+                      F.explode(_matches(dom_pairs, F.col("p"))).alias("c"))
+            .select(typed(F.col("s"), F.col("sk"), F.col("c")).alias("q"))
+            .select("q.*")
+        )
+    else:
+        dom = _pairs_df(spark, dom_pairs, "dom_p", "dom_c")
+        dom_inf = (
+            p1.join(F.broadcast(dom), p1["p"] == dom["dom_p"])
+            .select(typed(F.col("s"), F.col("sk"), F.col("dom_c")).alias("q"))
+            .select("q.*")
+        )
+    if len(rng_pairs) <= _INLINE_RULE_MAX:
+        rng_inf = (
+            p1.where(F.col("ok") == "iri")
+            .select("o",
+                    F.explode(_matches(rng_pairs, F.col("p"))).alias("c"))
+            .select(typed(F.col("o"), F.lit("iri"), F.col("c")).alias("q"))
+            .select("q.*")
+        )
+    else:
+        rng = _pairs_df(spark, rng_pairs, "rng_p", "rng_c")
+        rng_inf = (
+            p1.where(F.col("ok") == "iri")
+            .join(F.broadcast(rng), p1["p"] == rng["rng_p"])
+            .select(typed(F.col("o"), F.lit("iri"), F.col("rng_c")).alias("q"))
+            .select("q.*")
+        )
 
     # rdfs9: subClassOf over every type triple (asserted + rdfs2/3)
     types = (
         p1.where(F.col("p") == RDF_TYPE).select(*cols)
         .unionByName(dom_inf).unionByName(rng_inf)
     )
-    sc = _pairs_df(spark, sc_pairs, "sub_c", "sup_c")
-    sc_inf = (
-        types.join(F.broadcast(sc), types["o"] == sc["sub_c"])
-        .select(typed(F.col("s"), F.col("sk"), F.col("sup_c")).alias("q"))
-        .select("q.*")
-    )
+    if len(sc_pairs) <= _INLINE_RULE_MAX:
+        sc_inf = (
+            types.select("s", "sk",
+                         F.explode(_matches(sc_pairs, F.col("o"))).alias("c"))
+            .select(typed(F.col("s"), F.col("sk"), F.col("c")).alias("q"))
+            .select("q.*")
+        )
+    else:
+        sc = _pairs_df(spark, sc_pairs, "sub_c", "sup_c")
+        sc_inf = (
+            types.join(F.broadcast(sc), types["o"] == sc["sub_c"])
+            .select(typed(F.col("s"), F.col("sk"), F.col("sup_c")).alias("q"))
+            .select("q.*")
+        )
 
     # rdfs5 / rdfs11: the closures themselves as triples
     tbox_inf_rows = (

@@ -113,11 +113,38 @@ def test_rdfs_inferred_only_and_idempotent(spark):
     assert {tuple(r) for r in again.collect()} == got_full
 
 
-def test_rdfs_plan_broadcasts_tbox(spark):
+def test_rdfs_plan_small_tbox_joinless(spark):
+    # dictionary-sized rule tables compile to literal-map explodes: the
+    # ABox is never joined at all, let alone shuffled
+    out = rdfs_materialize(_quads(spark, TBOX + ABOX))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_rdfs_plan_large_tbox_broadcasts(spark, monkeypatch):
+    # past _INLINE_RULE_MAX the rules fall back to broadcast joins —
+    # never a shuffle of the ABox
+    import rdf_mapper_spark.inference as inf_mod
+
+    monkeypatch.setattr(inf_mod, "_INLINE_RULE_MAX", 0)
     out = rdfs_materialize(_quads(spark, TBOX + ABOX))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_rdfs_inline_matches_broadcast(spark, monkeypatch):
+    # both rule compilations produce the identical entailed set
+    import rdf_mapper_spark.inference as inf_mod
+
+    inline = {tuple(r) for r in
+              rdfs_materialize(_quads(spark, TBOX + ABOX)).collect()}
+    monkeypatch.setattr(inf_mod, "_INLINE_RULE_MAX", 0)
+    joined = {tuple(r) for r in
+              rdfs_materialize(_quads(spark, TBOX + ABOX)).collect()}
+    assert inline == joined
 
 
 def test_driver_closure_cycle_safe():
