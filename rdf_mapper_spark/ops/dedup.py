@@ -192,14 +192,6 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), n).alias("sh"),
     )
-    if verify_threshold is not None:
-        # the shingle arrays feed BOTH the signature chain and the
-        # pairwise verifier (twice, once per join side): materialize them
-        # once instead of re-deriving the n-gram chain 3x.  At corpus
-        # scale the localCheckpoint becomes a durable shingle table —
-        # same one-pass property.
-        base = base.withColumn("sz", F.size("sh")) \
-            .localCheckpoint(eager=True)
 
     def _sig(shv: Column) -> Column:
         return F.array(*[
@@ -207,12 +199,28 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
             for i in range(num_hashes)
         ])
 
-    sigs = base.select(
-        "id", F.element_at(F.transform(F.array("sh"), _sig), 1).alias("sig"))
-    # banded keys are 4 tiny rows per doc; materializing them makes the
-    # self-join read them twice instead of running the per-shingle md5
-    # signature chain once per side
-    buckets = lsh_buckets(sigs, bands=bands).localCheckpoint(eager=True)
+    if verify_threshold is not None:
+        # ONE materialization of (id, sh, sz, sig): the shingle arrays
+        # feed the signature chain and the pairwise verifier (twice,
+        # once per join side), and the signature feeds both sides of the
+        # banded self-join — a single checkpoint replaces the former
+        # shingle + banded-keys pair of barriers (the band md5 over the
+        # stored sig is 4 tiny hashes per row per side, orders of
+        # magnitude under the per-shingle chain it re-derived).  At
+        # corpus scale the localCheckpoint becomes a durable
+        # shingle+signature table — same one-pass property.
+        base = base.withColumn("sz", F.size("sh")) \
+            .withColumn(
+                "sig",
+                F.element_at(F.transform(F.array("sh"), _sig), 1)) \
+            .localCheckpoint(eager=True)
+        sigs = base.select("id", "sig")
+        buckets = lsh_buckets(sigs, bands=bands)
+    else:
+        sigs = base.select(
+            "id",
+            F.element_at(F.transform(F.array("sh"), _sig), 1).alias("sig"))
+        buckets = lsh_buckets(sigs, bands=bands)
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
