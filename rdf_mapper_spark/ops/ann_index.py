@@ -41,7 +41,9 @@ from rdf_mapper_spark.ops.similarity import (
     _sql_quote,
     cosine_expr,
     hyperplanes,
+    norm_expr,
 )
+from rdf_mapper_spark.ops.similarity import dot_expr as _dot
 
 _META = "_ann_meta.json"
 
@@ -153,6 +155,7 @@ def build_ivf_index(embeddings: DataFrame, path: str,
         .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
         .select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+            norm_expr(F.col(vec_col)).alias("nrm"),
             F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
             .alias("cell"),
         )
@@ -185,7 +188,8 @@ def ivf_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
         f"1, {nprobe}), s -> s.idx)"
     )
     q_c = queries.select(
-        "qid", "qvec", F.explode(F.expr(probe_sql)).alias("cell"),
+        "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
+        F.explode(F.expr(probe_sql)).alias("cell"),
     )
     # materialize the (query-batch-sized) probe frame once: the probe
     # collect and the candidate join would otherwise each re-analyze and
@@ -225,6 +229,7 @@ def build_lsh_index(embeddings: DataFrame, path: str, dim: int,
         .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
         .select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+            norm_expr(F.col(vec_col)).alias("nrm"),
             F.explode(F.expr(f"array({keys})")).alias("bucket"),
         )
     )
@@ -255,16 +260,19 @@ def lsh_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
         for t in range(n_tables)
     )
     qbase = queries.select(
-        "qid", "qvec", F.posexplode(F.expr(f"array({keys})")).alias("t", "b0")
+        "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
+        F.posexplode(F.expr(f"array({keys})")).alias("t", "b0")
     )
     if multiprobe:
         probes = F.array(
             F.col("b0"),
             *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
         )
-        q_b = qbase.select("qid", "qvec", F.explode(probes).alias("bucket"))
+        q_b = qbase.select("qid", "qvec", "qnrm",
+                           F.explode(probes).alias("bucket"))
     else:
-        q_b = qbase.select("qid", "qvec", F.col("b0").alias("bucket"))
+        q_b = qbase.select("qid", "qvec", "qnrm",
+                           F.col("b0").alias("bucket"))
     # materialize the probe frame once (see ivf_topk_indexed): the
     # n_tables x n_planes x dim hyperplane-literal tree is analyzed and
     # evaluated a single time instead of once for the probe collect and
@@ -284,9 +292,17 @@ def lsh_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
 
 
 def _rank(cand: DataFrame, k: int) -> DataFrame:
+    # per-vector norms are STORED in the index (nrm) and carried on the
+    # query frame (qnrm): the per-candidate cosine is one dot fold
+    # instead of three (dot + both norms) — identical floats, since
+    # norm_expr over the same vector is deterministic (the same trick
+    # semantic_dedup_pairs / embedding_near_dups use)
     scored = cand.select(
         "qid", F.col("vec_id").alias("neighbor"),
-        F.round(cosine_expr(F.col("v"), F.col("qvec")), 4).alias("cosine"),
+        F.round(cosine_expr(F.col("v"), F.col("qvec"))
+                if "nrm" not in cand.columns or "qnrm" not in cand.columns
+                else _dot(F.col("v"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")), 4).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("neighbor").asc()
@@ -326,6 +342,7 @@ def append_to_index(new_embeddings: DataFrame, path: str,
         dots = _cell_dots_sql(vec_col, meta["cells"])
         assigned = clean.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+            norm_expr(F.col(vec_col)).alias("nrm"),
             F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
             .alias("cell"),
         )
@@ -342,6 +359,7 @@ def append_to_index(new_embeddings: DataFrame, path: str,
         )
         exploded = clean.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+            norm_expr(F.col(vec_col)).alias("nrm"),
             F.explode(F.expr(f"array({keys})")).alias("bucket"),
         )
         exploded.repartition("bucket") \
@@ -435,7 +453,8 @@ def ivfpq_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
         f"1, {nprobe}), s -> s.idx)"
     )
     q_c = queries.select(
-        "qid", "qvec", F.explode(F.expr(probe_sql)).alias("cell"),
+        "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
+        F.explode(F.expr(probe_sql)).alias("cell"),
     )
     # one evaluation of the centroid-literal probe tree (see
     # ivf_topk_indexed)

@@ -44,13 +44,20 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     embedding table is then a single map-side pass; the only shuffle is the
     per-query top-k (tiny: k rows per query per partition after the window's
     partial rank pruning with AQE)."""
-    q = queries.select(F.col("qid"), F.col("qvec"))
+    # per-vector norms computed once per side and carried through the
+    # join: the per-pair cosine is one dot fold instead of three —
+    # identical floats (norm_expr over the same vector is deterministic;
+    # same trick as semantic_dedup_pairs)
+    q = queries.select(F.col("qid"), F.col("qvec"),
+                       norm_expr(F.col("qvec")).alias("qnrm"))
     pairs = embeddings.select(
-        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
     ).crossJoin(F.broadcast(q))
     scored = pairs.where(F.col("neighbor") != F.col("qid")).select(
         "qid", "neighbor",
-        F.round(cosine_expr(F.col("v"), F.col("qvec")), 4).alias("cosine"),
+        F.round(dot_expr(F.col("v"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")), 4).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("neighbor").asc()
@@ -235,6 +242,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     dots_v = _cell_dots_sql(vec_col, cells)
     emb_c = embeddings.select(
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
         F.expr(f"CAST(array_position({dots_v}, array_max({dots_v})) AS INT)")
         .alias("cell"),
     )
@@ -245,14 +253,17 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         f"1, {nprobe}), s -> s.idx)"
     )
     q_c = queries.select(
-        "qid", "qvec", F.explode(F.expr(probe_sql)).alias("cell"),
+        "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
+        F.explode(F.expr(probe_sql)).alias("cell"),
     )
     cand = emb_c.join(F.broadcast(q_c), "cell").where(
         F.col("neighbor") != F.col("qid")
     )
+    # carried norms: one dot fold per candidate (see cosine_topk)
     scored = cand.select(
         "qid", "neighbor",
-        F.round(cosine_expr(F.col("v"), F.col("qvec")), 4).alias("cosine"),
+        F.round(dot_expr(F.col("v"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")), 4).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("neighbor").asc()
@@ -310,28 +321,34 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     emb_b = embeddings.select(
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
         F.explode(_keyed(vec_col)).alias("bucket"),
     )
     qbase = queries.select(
-        "qid", "qvec", F.posexplode(_keyed("qvec")).alias("t", "b0")
+        "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
+        F.posexplode(_keyed("qvec")).alias("t", "b0")
     )
     if multiprobe:
         probes = F.array(
             F.col("b0"),
             *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
         )
-        q_b = qbase.select("qid", "qvec", F.explode(probes).alias("bucket"))
+        q_b = qbase.select("qid", "qvec", "qnrm",
+                           F.explode(probes).alias("bucket"))
     else:
-        q_b = qbase.select("qid", "qvec", F.col("b0").alias("bucket"))
+        q_b = qbase.select("qid", "qvec", "qnrm",
+                           F.col("b0").alias("bucket"))
     cand = (
         emb_b.join(F.broadcast(q_b), "bucket")
         .where(F.col("neighbor") != F.col("qid"))
         # union of L tables: score each (qid, neighbor) once
         .dropDuplicates(["qid", "neighbor"])
     )
+    # carried norms: one dot fold per candidate (see cosine_topk)
     scored = cand.select(
         "qid", "neighbor",
-        F.round(cosine_expr(F.col("v"), F.col("qvec")), 4).alias("cosine"),
+        F.round(dot_expr(F.col("v"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")), 4).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("neighbor").asc()
