@@ -36,11 +36,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rdf_mapper_spark.ops.similarity import (
-    _bucket_sql,
-    _cell_dots_sql,
+    _mat_lit,
     _sql_quote,
     cosine_expr,
     hyperplanes,
+    ivf_cell_expr,
+    ivf_probe_expr,
+    lsh_keys_col,
     norm_expr,
 )
 from rdf_mapper_spark.ops.similarity import dot_expr as _dot
@@ -149,15 +151,13 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     rule to `ivf_topk`) and write `partitionBy("cell")`.  NULL/empty
     vectors are excluded (they belong to no cell).  Returns the metadata
     also persisted beside the data."""
-    dots = _cell_dots_sql(vec_col, cells)
     assigned = (
         embeddings
         .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
         .select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
             norm_expr(F.col(vec_col)).alias("nrm"),
-            F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
-            .alias("cell"),
+            ivf_cell_expr(F.col(vec_col), cells).alias("cell"),
         )
     )
     # repartition by the partition key first: one file per cell instead
@@ -180,21 +180,15 @@ def ivf_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
     i.e. static partition pruning — the collected key set is bounded by
     n_cells regardless of how many queries are in the batch."""
     meta = read_meta(path)
-    cells, n_cells = meta["cells"], meta["n_cells"]
-    dots_q = _cell_dots_sql("qvec", cells)
-    probe_sql = (
-        f"transform(slice(array_sort(transform(sequence(1, {n_cells}), "
-        f"i -> named_struct('nd', -element_at({dots_q}, i), 'idx', i))), "
-        f"1, {nprobe}), s -> s.idx)"
-    )
+    cells = meta["cells"]
     q_c = queries.select(
         "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
-        F.explode(F.expr(probe_sql)).alias("cell"),
+        F.explode(ivf_probe_expr(F.col("qvec"), cells, nprobe))
+        .alias("cell"),
     )
     # materialize the (query-batch-sized) probe frame once: the probe
     # collect and the candidate join would otherwise each re-analyze and
-    # re-run the full centroid-literal expression tree — a fixed driver
-    # cost proportional to n_cells x dim per plan build
+    # re-run the probe expression
     q_c = q_c.localCheckpoint(eager=True)
     # distinct probe cells: <= n_cells rows however large the query batch
     probe_cells = [r.cell for r in q_c.select("cell").distinct().collect()]
@@ -219,18 +213,13 @@ def build_lsh_index(embeddings: DataFrame, path: str, dim: int,
     space-for-recall trade, now paid once at build instead of per query."""
     tables = [hyperplanes(dim, n_planes, seed + 7919 * t)
               for t in range(n_tables)]
-    width = 1 << n_planes
-    keys = ", ".join(
-        _bucket_sql(_sql_quote(vec_col), tables[t], t * width)
-        for t in range(n_tables)
-    )
     exploded = (
         embeddings
         .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
         .select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
             norm_expr(F.col(vec_col)).alias("nrm"),
-            F.explode(F.expr(f"array({keys})")).alias("bucket"),
+            F.explode(lsh_keys_col(F.col(vec_col), tables)).alias("bucket"),
         )
     )
     exploded.repartition("bucket") \
@@ -254,14 +243,9 @@ def lsh_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
     n_tables, seed = meta["n_tables"], meta["seed"]
     tables = [hyperplanes(dim, n_planes, seed + 7919 * t)
               for t in range(n_tables)]
-    width = 1 << n_planes
-    keys = ", ".join(
-        _bucket_sql(_sql_quote("qvec"), tables[t], t * width)
-        for t in range(n_tables)
-    )
     qbase = queries.select(
         "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
-        F.posexplode(F.expr(f"array({keys})")).alias("t", "b0")
+        F.posexplode(lsh_keys_col(F.col("qvec"), tables)).alias("t", "b0")
     )
     if multiprobe:
         probes = F.array(
@@ -339,12 +323,10 @@ def append_to_index(new_embeddings: DataFrame, path: str,
     clean = new_embeddings.where(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     if meta["kind"] == "ivf":
-        dots = _cell_dots_sql(vec_col, meta["cells"])
         assigned = clean.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
             norm_expr(F.col(vec_col)).alias("nrm"),
-            F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
-            .alias("cell"),
+            ivf_cell_expr(F.col(vec_col), meta["cells"]).alias("cell"),
         )
         assigned.repartition("cell") \
             .write.mode("append").partitionBy("cell").parquet(path)
@@ -352,15 +334,10 @@ def append_to_index(new_embeddings: DataFrame, path: str,
         tables = [hyperplanes(meta["dim"], meta["n_planes"],
                               meta["seed"] + 7919 * t)
                   for t in range(meta["n_tables"])]
-        width = 1 << meta["n_planes"]
-        keys = ", ".join(
-            _bucket_sql(_sql_quote(vec_col), tables[t], t * width)
-            for t in range(meta["n_tables"])
-        )
         exploded = clean.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
             norm_expr(F.col(vec_col)).alias("nrm"),
-            F.explode(F.expr(f"array({keys})")).alias("bucket"),
+            F.explode(lsh_keys_col(F.col(vec_col), tables)).alias("bucket"),
         )
         exploded.repartition("bucket") \
             .write.mode("append").partitionBy("bucket").parquet(path)
@@ -368,13 +345,11 @@ def append_to_index(new_embeddings: DataFrame, path: str,
         # cell AND codes are pure functions of (vector, frozen
         # codebooks), so the append-commutes-with-build property holds
         # exactly as for ivf/lsh
-        dots = _cell_dots_sql(vec_col, meta["cells"])
         codes = _pq_spark_codes(vec_col, meta["codebooks"])
         assigned = clean.select(
             F.col(id_col).alias("vec_id"),
             F.expr(codes).alias("codes"),
-            F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
-            .alias("cell"),
+            ivf_cell_expr(F.col(vec_col), meta["cells"]).alias("cell"),
         )
         assigned.repartition("cell") \
             .write.mode("append").partitionBy("cell").parquet(path)
@@ -410,7 +385,6 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
     ranking uses the asymmetric-distance approximation against the
     query's exact vector.  Same sidecar/manifest machinery as the other
     index kinds."""
-    dots = _cell_dots_sql(vec_col, cells)
     codes = _pq_spark_codes(vec_col, codebooks)
     assigned = (
         embeddings
@@ -418,8 +392,7 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
         .select(
             F.col(id_col).alias("vec_id"),
             F.expr(codes).alias("codes"),
-            F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
-            .alias("cell"),
+            ivf_cell_expr(F.col(vec_col), cells).alias("cell"),
         )
     )
     assigned.repartition("cell") \
@@ -444,17 +417,12 @@ def ivfpq_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
     from rdf_mapper_spark.ops.similarity import pq_adc_sql
 
     meta = read_meta(path)
-    cells, n_cells = meta["cells"], meta["n_cells"]
+    cells = meta["cells"]
     codebooks = meta["codebooks"]
-    dots_q = _cell_dots_sql("qvec", cells)
-    probe_sql = (
-        f"transform(slice(array_sort(transform(sequence(1, {n_cells}), "
-        f"i -> named_struct('nd', -element_at({dots_q}, i), 'idx', i))), "
-        f"1, {nprobe}), s -> s.idx)"
-    )
     q_c = queries.select(
         "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
-        F.explode(F.expr(probe_sql)).alias("cell"),
+        F.explode(ivf_probe_expr(F.col("qvec"), cells, nprobe))
+        .alias("cell"),
     )
     # one evaluation of the centroid-literal probe tree (see
     # ivf_topk_indexed)
@@ -463,17 +431,12 @@ def ivfpq_topk_indexed(spark: SparkSession, path: str, queries: DataFrame,
     index = _read_index(spark, path).where(F.col("cell").isin(probe_cells))
     cand = index.join(F.broadcast(q_c), "cell").where(
         F.col("vec_id") != F.col("qid"))
-    # bind each subspace's selected codeword once per candidate row
-    cb_lits = [
-        "array(" + ", ".join(
-            "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cw)
-            + ")" for cw in cb) + ")"
-        for cb in codebooks
-    ]
-    cand = cand.selectExpr(
+    # bind each subspace's selected codeword once per candidate row;
+    # codebooks as single matrix literals (see _mat_lit — analyzer cost)
+    cand = cand.select(
         "qid", "qvec", "vec_id",
-        *[f"element_at({cb_lits[j]}, codes[{j}]) AS __cw_{j}"
-          for j in range(len(codebooks))],
+        *[F.element_at(_mat_lit(cb), F.col("codes")[j]).alias(f"__cw_{j}")
+          for j, cb in enumerate(codebooks)],
     )
     dist = pq_adc_sql(
         lambda i: f"CAST(qvec[{i}] AS DOUBLE)", codebooks,

@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import json
 import math
 import random
 
@@ -101,21 +102,45 @@ def _bucket_sql(col_sql: str, planes: list[list[float]], offset: int) -> str:
 
 
 def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id from seeded random hyperplanes.
+    """Sign-pattern bucket id from seeded random hyperplanes — the
+    single-table form of `lsh_keys_col`: same per-plane dot fold, same
+    left-to-right bit sum (aggregate fold == the former explicit
+    ``bits[0] + bits[1] + ...`` chain), one matrix literal
+    (see `_mat_lit` — analyzer + py4j cost)."""
+    n_planes = len(planes)
+    mat = _mat_lit(planes)
+    bits = F.lit([1 << i for i in range(n_planes)])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            dot_expr(vec, F.element_at(mat, i + 1)) >= 0,
+            F.element_at(bits, i + 1)).otherwise(F.lit(0)),
+    ).cast("int")
 
-    Each plane is ONE ArrayType literal (`F.lit(list)`), not 64 scalar
-    literals under a CreateArray — with 24 planes the difference is a
-    ~1.5k-node expression tree that Catalyst re-optimizes on every plan
-    build (measured ~3s driver time per lsh_topk call) vs 24 nodes."""
-    bits = []
-    for i, plane in enumerate(planes):
-        p = F.lit([float(x) for x in plane])
-        sign = dot_expr(vec, p) >= 0
-        bits.append(F.when(sign, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+
+def lsh_keys_col(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """Array of the L table-namespaced bucket keys for `vec` — the same
+    bits/offset formula as `_bucket_sql` (key = t * 2^n_planes + sign
+    pattern; per-plane dot is the identical zip_with/aggregate fold, so
+    the keys are bit-identical), built as a tiny nested-HOF tree over one
+    matrix literal instead of n_tables x n_planes x dim per-element SQL
+    literals (see `_mat_lit` — analyzer cost).  Per-row work is
+    unchanged: one dot fold per (table, plane)."""
+    n_planes = len(tables[0])
+    width = 1 << n_planes
+    mat = _mat_lit([p for t in tables for p in t])
+    bits = F.lit([1 << i for i in range(n_planes)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(tables) - 1)),
+        lambda t: (F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0),
+            lambda acc, i: acc + F.when(
+                dot_expr(vec, F.element_at(mat, t * n_planes + i + 1)) >= 0,
+                F.element_at(bits, i + 1)).otherwise(F.lit(0)),
+        ) + t * width).cast("int"),
+    )
 
 
 def centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
@@ -129,11 +154,31 @@ def centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_cells)]
 
 
+def _mat_lit(rows: list[list[float]]) -> Column:
+    """A whole plane/centroid matrix as ONE array<array<double>> literal.
+
+    Every Dataset creation re-runs the analyzer over the full logical
+    plan, so a formulation that renders n_rows x dim per-element literal
+    nodes (the old SQL-string rendering, or PySpark's
+    ``F.array(*[F.lit(row) ...])``, which additionally pays one py4j
+    call PER ELEMENT) charges tree-size-proportional driver time to
+    every transformation step of the query build — measured ~0.6 s per
+    lsh_topk construction at 24x64 planes.  ``from_json`` of one string
+    literal is a 3-node tree for the analyzer and is folded to a plain
+    Literal by Catalyst's ConstantFolding before execution (foldable
+    child => foldable), so the per-row plan sees exactly the same
+    constant array.  Doubles round-trip exactly: ``json.dumps`` emits
+    Python's shortest-round-trip repr and the JVM parse is IEEE
+    round-to-nearest (A/B-verified bit-identical bucket sums)."""
+    payload = json.dumps([[float(x) for x in r] for r in rows])
+    return F.from_json(F.lit(payload), "array<array<double>>")
+
+
 def _cell_dots(vec: Column, cells: list[list[float]]) -> Column:
-    # one ArrayType literal per cell (see lsh_bucket_expr plan-size note)
-    return F.array(*[
-        dot_expr(vec, F.lit([float(x) for x in c])) for c in cells
-    ])
+    # one transform over a single matrix literal: constant node count,
+    # and a constant number of lambda-construction py4j round-trips
+    # (the per-cell dot_expr loop paid ~3 lambdas per cell)
+    return F.transform(_mat_lit(cells), lambda c: dot_expr(vec, c))
 
 
 def _cell_dots_sql(col_name: str, cells: list[list[float]]) -> str:
@@ -195,11 +240,9 @@ def train_centroids(embeddings: DataFrame, n_cells: int = 16,
         dim = len(first[0][0])
     cells = centroids(dim, n_cells, seed)
     for _ in range(iters):
-        dots = _cell_dots_sql(vec_col, cells)
         assigned = embeddings.select(
             F.col(vec_col).alias("v"),
-            F.expr(f"CAST(array_position({dots}, array_max({dots})) AS INT)")
-            .alias("cell"),
+            ivf_cell_expr(F.col(vec_col), cells).alias("cell"),
         )
         rows = assigned.groupBy("cell").agg(
             *[F.avg(F.col("v")[i].cast("double")).alias(f"m{i}")
@@ -237,24 +280,17 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         cells = centroids(dim, n_cells, seed)
     else:
         n_cells = len(cells)
-    # SQL-string formulation: one F.expr parse instead of hundreds of
-    # py4j lambda round-trips per plan build (see _dot_sql)
-    dots_v = _cell_dots_sql(vec_col, cells)
+    # matrix-literal HOF formulation (see _mat_lit): constant tree size,
+    # same per-row folds in the same order — bit-identical cells/probes
     emb_c = embeddings.select(
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
         norm_expr(F.col(vec_col)).alias("nrm"),
-        F.expr(f"CAST(array_position({dots_v}, array_max({dots_v})) AS INT)")
-        .alias("cell"),
-    )
-    dots_q = _cell_dots_sql("qvec", cells)
-    probe_sql = (
-        f"transform(slice(array_sort(transform(sequence(1, {n_cells}), "
-        f"i -> named_struct('nd', -element_at({dots_q}, i), 'idx', i))), "
-        f"1, {nprobe}), s -> s.idx)"
+        ivf_cell_expr(F.col(vec_col), cells).alias("cell"),
     )
     q_c = queries.select(
         "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
-        F.explode(F.expr(probe_sql)).alias("cell"),
+        F.explode(ivf_probe_expr(F.col("qvec"), cells, nprobe))
+        .alias("cell"),
     )
     cand = emb_c.join(F.broadcast(q_c), "cell").where(
         F.col("neighbor") != F.col("qid")
@@ -308,25 +344,16 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     tables = [hyperplanes(dim, n_planes, seed + 7919 * t)
               for t in range(n_tables)]
     # Bucket key is namespaced per table: key = t * 2^n_planes + bucket.
-    width = 1 << n_planes
-
-    # SQL-string formulation: one F.expr parse instead of hundreds of
-    # py4j lambda round-trips per plan build (see _dot_sql)
-    def _keyed(col_name: str) -> Column:
-        keys = ", ".join(
-            _bucket_sql(_sql_quote(col_name), tables[t], t * width)
-            for t in range(n_tables)
-        )
-        return F.expr(f"array({keys})")
-
+    # matrix-literal HOF formulation (see lsh_keys_col / _mat_lit):
+    # bit-identical keys, constant expression-tree size
     emb_b = embeddings.select(
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"),
         norm_expr(F.col(vec_col)).alias("nrm"),
-        F.explode(_keyed(vec_col)).alias("bucket"),
+        F.explode(lsh_keys_col(F.col(vec_col), tables)).alias("bucket"),
     )
     qbase = queries.select(
         "qid", "qvec", norm_expr(F.col("qvec")).alias("qnrm"),
-        F.posexplode(_keyed("qvec")).alias("t", "b0")
+        F.posexplode(lsh_keys_col(F.col("qvec"), tables)).alias("t", "b0")
     )
     if multiprobe:
         probes = F.array(
