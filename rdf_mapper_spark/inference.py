@@ -190,6 +190,19 @@ def rdfs_materialize(quads: DataFrame, include_asserted: bool = True,
     spark = quads.sparkSession
     if materialize:
         quads = quads.localCheckpoint(eager=True)
+        # The rule branches re-scan this checkpoint ~12x (each branch of
+        # the union consumes it), so every stored partition costs ~12
+        # task launches in the final set-dedup job.  A computed-union
+        # checkpoint inherits the SUM of its branches' partition counts
+        # regardless of size — right for a corpus-scale graph, pure task
+        # overhead for a dictionary-sized one.  Derive the width from
+        # the now-known materialized row count (same rows-per-task rule
+        # the entry's input spread uses); big graphs keep their width.
+        n = quads.count()  # cache-scan job, cheap post-checkpoint
+        width = max(2, min(n // 50_000 + 1,
+                           spark.sparkContext.defaultParallelism))
+        if width < quads.rdd.getNumPartitions():
+            quads = quads.coalesce(width)
     if tbox is None:
         tbox = extract_tbox(quads, tbox_threshold)
     else:
