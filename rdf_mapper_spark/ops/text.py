@@ -459,10 +459,19 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
     )
 
     out = total.join(line_stats, "id", "left")
+    # tokenize ONCE for every n-gram size: each gram branch previously
+    # re-ran the full tokenizer over the corpus (profiled as one
+    # identical stage per n).  The checkpoint holds (id, toks) — the
+    # durable-intermediate the pipeline's checkpoint stage provides at
+    # corpus scale — computed fresh per invocation.
+    toked = None
+    if ngram_sizes:
+        toked = base.select(
+            "id", tokens_col(F.col("t")).alias("toks")
+        ).localCheckpoint(eager=True)
     for n in ngram_sizes:
-        grams = base.select(
-            "id", F.explode(ngrams_col(tokens_col(F.col("t")), n))
-            .alias("gram"),
+        grams = toked.select(
+            "id", F.explode(ngrams_col(F.col("toks"), n)).alias("gram"),
         )
         per_gram = grams.groupBy("id", "gram").agg(F.count("*").alias("c"))
         w = Window.partitionBy("id").orderBy(
@@ -513,7 +522,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, text_col: str = "text",
     n_docs = docs.count()
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(tokens_col(F.col(text_col))).alias("t"))
-    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    # materialize tf once: it feeds BOTH the df aggregation and the tf
+    # side of the score join, and nothing reuses the exchange (different
+    # keys), so without this the tokenize+explode+count subtree — the
+    # expensive part at corpus scale — executes twice (profiled as two
+    # identical stages).  The checkpoint is (doc, term)-sized, computed
+    # fresh per invocation.
+    tf = toks.groupBy("id", "t").agg(F.count("*").alias("tf")) \
+        .localCheckpoint(eager=True)
     df_t = tf.groupBy("t").agg(F.count("*").alias("df"))
     if max_df_frac is not None:
         df_t = df_t.where(F.col("df") <= int(max_df_frac * n_docs))
