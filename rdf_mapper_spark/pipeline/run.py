@@ -164,6 +164,13 @@ def _input_fingerprint(pages: DataFrame, aliases: DataFrame,
     return h.hexdigest()
 
 
+#: Fused mode: populate the extract+link caches from a driver thread
+#: while the main thread compiles the emission specs (guide §2.6).
+#: Module-level so A/B harnesses can flip it; semantics are identical
+#: either way (the block manager's per-partition locks dedup the work).
+_WARM_OVERLAP = True
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -200,7 +207,7 @@ def run_pipeline(
     if workdir is None:
         from concurrent.futures import ThreadPoolExecutor
 
-        _pool = ThreadPoolExecutor(max_workers=1)
+        _pool = ThreadPoolExecutor(max_workers=2)
         mapping_fut = _pool.submit(
             lambda: canonical_mapping(sameas_edges_from_aliases(aliases)))
 
@@ -240,15 +247,38 @@ def run_pipeline(
     links = runner.run(
         "link", lambda: link_entities(extracted, aliases), fingerprint=fp
     )
+    warm_fut = None
     if workdir is None:
         links = links.persist()
+        if _WARM_OVERLAP:
+            # populate the extract+link caches from a driver thread while
+            # THIS thread compiles the three emission specs (~2 s of pure
+            # py4j/driver work during which the cluster would otherwise
+            # sit idle — guide §2.6, overlap independent work).  The
+            # final job's branches then read (mostly) populated caches
+            # through the block manager's per-partition locks, and the
+            # link-count metric is this job's result instead of a
+            # separate cache scan.
+            warm_fut = _pool.submit(links.count)
+    # ONE build_quads_split call feeds both stage lambdas: each call
+    # compiles all three mapping specs to Column plans (~0.6 s of pure
+    # driver/py4j work per engine), and the two runner stages previously
+    # re-ran it — six engine compiles per invocation, profiled as a
+    # ~3.7 s driver gap before the first emission job.  The lazy closure
+    # keeps checkpoint-resume semantics: a stage restored from parquet
+    # never triggers the compile.
+    _split: list = []
+
+    def _quads_split():
+        if not _split:
+            _split.append(build_quads_split(extracted, links))
+        return _split[0]
+
     page_q = runner.run(
-        "triples_pages",
-        lambda: build_quads_split(extracted, links)[0], fingerprint=fp,
+        "triples_pages", lambda: _quads_split()[0], fingerprint=fp,
     )
     dyn_q = runner.run(
-        "triples_links",
-        lambda: build_quads_split(extracted, links)[1], fingerprint=fp,
+        "triples_links", lambda: _quads_split()[1], fingerprint=fp,
     )
 
     def canonical() -> DataFrame:
@@ -271,8 +301,10 @@ def run_pipeline(
 
     n_triples = final.count()
     if workdir is None:
-        # cache scans: the final count above populated both caches
-        n_links = links.count()
+        # link count from the overlapped warm job (else a cache scan);
+        # page count is a pure cache scan either way
+        n_links = warm_fut.result() if warm_fut is not None \
+            else links.count()
         n_pages = extracted.count()
     if materialize and workdir:
         write_graph_tables(final, f"{workdir}/graph_tables")
