@@ -140,15 +140,20 @@ def _rule_lookup(pairs: list[tuple[str, str]]):
     dictionary-sized driver-held pair list becomes a map-side
     ``explode(element_at(map, key))`` — zero joins, zero broadcast
     builds, rows appear exactly once per matching pair (explode of a
-    NULL lookup emits nothing, same as the inner join's miss)."""
+    NULL lookup emits nothing, same as the inner join's miss).
+
+    Built as ``from_json`` of ONE string literal instead of
+    ``create_map`` over per-element ``F.lit`` calls: the same
+    folded-literal trick as the ANN matrices (similarity._mat_lit) —
+    one py4j call and a 3-node analyzer tree instead of ~2 per pair,
+    folded to an identical Literal map before execution."""
+    import json as _json
+
     m: dict[str, list[str]] = {}
     for k, v in pairs:
         m.setdefault(k, []).append(v)
-    args = []
-    for k in sorted(m):
-        args.append(F.lit(k))
-        args.append(F.array(*[F.lit(v) for v in sorted(m[k])]))
-    return F.create_map(*args)
+    payload = _json.dumps({k: sorted(m[k]) for k in sorted(m)})
+    return F.from_json(F.lit(payload), "map<string, array<string>>")
 
 
 def rdfs_materialize(quads: DataFrame, include_asserted: bool = True,
