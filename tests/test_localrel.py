@@ -66,3 +66,30 @@ def test_rdfs_materialize_explicit_tbox_matches_collected(spark):
         DOMAIN: [("p", "C1")],
     }).collect()
     assert sorted(map(tuple, explicit)) == sorted(map(tuple, collected))
+
+
+def test_json_fast_path_matches_createdataframe(spark):
+    # the from_json inline path (json-safe schemas) must be value-exact
+    # vs createDataFrame, including escapes, unicode, extreme ints,
+    # signed zero and subnormal-range doubles
+    cases = [
+        ([("a\x00b", 1), ('q"\\\n\t', None), ("日本語 ü", -2**31),
+          (None, 2**31 - 1)], "s string, i int"),
+        ([(1.5, True), (0.1 + 0.2, False), (None, None),
+          (1e-300, True), (-0.0, False)], "d double, b boolean"),
+        ([(2**63 - 1, "x"), (-2**63, "y")], "l long, s string"),
+    ]
+    for rows, schema in cases:
+        got = local_df(spark, rows, schema).collect()
+        want = spark.createDataFrame(rows, schema).collect()
+        assert got == want
+
+
+def test_json_unsafe_types_fall_back(spark):
+    import datetime
+
+    rows = [(datetime.date(2020, 1, 2), "x"), (None, None)]
+    schema = "d date, s string"
+    got = local_df(spark, rows, schema).collect()
+    want = spark.createDataFrame(rows, schema).collect()
+    assert got == want
