@@ -343,6 +343,27 @@ CITES_SPEC = {
 }
 
 
+def _cites_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared citation-tree emission (dedup=False — every consumer's
+    path_edges() distincts the (src, dst) projection).  Memoized per
+    session like `_flagship_quads`: FOUR query functions compile the
+    identical spec over the identical input; only the lazy plan is
+    cached, never rows."""
+    from rdf_mapper_spark.engine import MapperEngine
+    from rdf_mapper_spark.spec import MappingSpec
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cites")
+    hit = _FLAGSHIP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "parent", (F.col("doc_id") / 2).cast("long"))
+    engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
+    out = engine.apply(docs, file_name="documents", dedup=False)
+    _FLAGSHIP_CACHE[key] = out
+    return out
+
+
 def q_kg_path_cites(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded property-path reachability (query.path_query — SPARQL
     `cites{1,3}`): the engine emits a citation TREE (doc cites
@@ -354,11 +375,8 @@ def q_kg_path_cites(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_mapper_spark.query import path_query
     from rdf_mapper_spark.spec import MappingSpec
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "parent", (F.col("doc_id") / 2).cast("long"))
-    engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
-    # dedup=False: path_edges() distincts the (src, dst) projection
-    quads = engine.apply(docs, file_name="documents", dedup=False)
+    # shared memoized emission (see _cites_quads)
+    quads = _cites_quads(spark, sf_dir)
     return path_query(quads, KGB + "/def/cites", max_hops=3)
 
 
@@ -391,11 +409,8 @@ def q_kg_path_related(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from rdf_mapper_spark.spec import MappingSpec
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "parent", (F.col("doc_id") / 2).cast("long"))
-    engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
-    # dedup=False: path_edges() distincts the (src, dst) projection
-    quads = engine.apply(docs, file_name="documents", dedup=False)
+    # shared memoized emission (see _cites_quads)
+    quads = _cites_quads(spark, sf_dir)
     p = path_edges(quads, KGB + "/def/cites")
     return path_closure(path_alt(p, path_inv(p)), max_hops=2)
 
@@ -428,11 +443,8 @@ def q_kg_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_mapper_spark.query import path_query
     from rdf_mapper_spark.spec import MappingSpec
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "parent", (F.col("doc_id") / 2).cast("long"))
-    engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
-    # dedup=False: path_edges() distincts the (src, dst) projection
-    quads = engine.apply(docs, file_name="documents", dedup=False)
+    # shared memoized emission (see _cites_quads)
+    quads = _cites_quads(spark, sf_dir)
     return path_query(quads, KGB + "/def/cites", max_hops=None)
 
 
@@ -531,11 +543,8 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_mapper_spark.sparql import sparql
     from rdf_mapper_spark.spec import MappingSpec
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "parent", (F.col("doc_id") / 2).cast("long"))
-    engine = MapperEngine(MappingSpec(CITES_SPEC, auto_declare=False))
-    # dedup=False: path_edges() distincts the (src, dst) projection
-    quads = engine.apply(docs, file_name="documents", dedup=False)
+    # shared memoized emission (see _cites_quads)
+    quads = _cites_quads(spark, sf_dir)
     return sparql(quads, f"""
         PREFIX kg: <{KGB}/def/>
         SELECT ?src ?dst WHERE {{ ?src kg:cites+ ?dst }}""")
