@@ -3401,7 +3401,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inverse_backref": q_kg_inverse_backref,
         "kg_named_graphs": q_kg_named_graphs,
         "kg_hash_minting": q_kg_hash_minting,
-        "kg_json_props": q_kg_json_props,
         "kg_row_graphs": q_kg_row_graphs,
         "kg_rdfs_inference": q_kg_rdfs_inference,
         "kg_sameas": q_kg_sameas,
@@ -3418,7 +3417,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_indexed": q_ann_lsh_indexed,
         "link_mentions": q_link_mentions,
         "connected_components": q_connected_components,
-        # unchanged plans (adaptive input spread only / untouched)
+        # round-6 continuation: matrix-literal ANN folding, one-pass
+        # tfidf/repetition, pipeline compile sharing (web/incremental)
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "tfidf_terms": q_tfidf_terms,
+        "repetition_metrics": q_repetition_metrics,
+        "web_canonical_urls": q_web_canonical_urls,
+        "kg_incremental": q_kg_incremental,
+        # unchanged plans (shared caches only / untouched) — all
+        # r3-r5-driver-verified with code otherwise unchanged
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "top_events_per_type": q_top_events_per_type,
@@ -3428,27 +3437,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
+        "kg_json_props": q_kg_json_props,
         "pii_scrub": q_pii_scrub,
         "lm_logprob": q_lm_logprob,
-        "tfidf_terms": q_tfidf_terms,
         "corpus_stats": q_corpus_stats,
         "chunk_documents": q_chunk_documents,
         "dedup_paragraphs": q_dedup_paragraphs,
         "cap_per_source": q_cap_per_source,
         "pack_sequences": q_pack_sequences,
         "kg_degrees": q_kg_degrees,
-        "repetition_metrics": q_repetition_metrics,
         "corpus_sample": q_corpus_sample,
         "text_analysis": q_text_analysis,
         "text_winnow": q_text_winnow,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "quality_filter": q_quality_filter,
-        "web_canonical_urls": q_web_canonical_urls,
-        "kg_incremental": q_kg_incremental,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "winnow_pairs": q_winnow_pairs,
